@@ -1,0 +1,684 @@
+"""Host-exact BLS12-381: Fq2/Fq6/Fq12 tower, G1/G2 groups, optimal-ate pairing.
+
+Replaces the reference's ``nam-blst`` (C + assembly) / ``nam-blstrs`` pairing
+engine (SURVEY.md §2.4, Cargo.lock:1385-1413) for the host-side paths:
+parameter generation, proof verification, and serialization.  Tower
+conventions match zkcrypto/blst:
+
+    Fq2  = Fq [u] / (u^2 + 1)
+    Fq6  = Fq2[v] / (v^3 - xi),  xi = u + 1
+    Fq12 = Fq6[w] / (w^2 - v)
+
+Point serialization is the zcash/blst format used by bellman's
+``Parameters::read`` (masp_proofs/src/lib.rs:336): big-endian coordinates with
+flag bits {compressed:0x80, infinity:0x40, y-sign:0x20} in the first byte;
+G2 coordinates serialize c1 before c0.
+
+The TPU batch path for G1/G2 MSM lives in masp_tpu.ops; it is validated
+against this module.
+"""
+
+from __future__ import annotations
+
+Q = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
+R = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+# BLS parameter; x < 0 for BLS12-381.
+BLS_X = 0xD201000000010000
+BLS_X_IS_NEGATIVE = True
+
+_Q_HALF = (Q - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# Tower fields. Elements store raw ints (mod Q) for speed; these are host-side
+# classes used O(thousands) of times per pairing.
+
+class Fq2:
+    __slots__ = ("c0", "c1")
+
+    def __init__(self, c0: int, c1: int):
+        self.c0 = c0 % Q
+        self.c1 = c1 % Q
+
+    ZERO = None
+    ONE = None
+
+    def __add__(self, o):
+        return Fq2(self.c0 + o.c0, self.c1 + o.c1)
+
+    def __sub__(self, o):
+        return Fq2(self.c0 - o.c0, self.c1 - o.c1)
+
+    def __neg__(self):
+        return Fq2(-self.c0, -self.c1)
+
+    def __mul__(self, o):
+        # Karatsuba: (a0 + a1 u)(b0 + b1 u), u^2 = -1
+        v0 = self.c0 * o.c0
+        v1 = self.c1 * o.c1
+        c0 = v0 - v1
+        c1 = (self.c0 + self.c1) * (o.c0 + o.c1) - v0 - v1
+        return Fq2(c0, c1)
+
+    def square(self):
+        # (a + bu)^2 = (a+b)(a-b) + 2ab u
+        a, b = self.c0, self.c1
+        return Fq2((a + b) * (a - b), 2 * a * b)
+
+    def mul_scalar(self, k: int):
+        return Fq2(self.c0 * k, self.c1 * k)
+
+    def mul_by_xi(self):
+        # * (1 + u)
+        return Fq2(self.c0 - self.c1, self.c0 + self.c1)
+
+    def conjugate(self):
+        return Fq2(self.c0, -self.c1)
+
+    def invert(self):
+        # 1/(a+bu) = (a-bu)/(a^2+b^2)
+        norm = (self.c0 * self.c0 + self.c1 * self.c1) % Q
+        if norm == 0:
+            return None
+        inv = pow(norm, -1, Q)
+        return Fq2(self.c0 * inv, -self.c1 * inv)
+
+    def frobenius(self):
+        # (a + bu)^q = a - bu  (since q ≡ 3 mod 4)
+        return self.conjugate()
+
+    def is_zero(self):
+        return self.c0 == 0 and self.c1 == 0
+
+    def sqrt(self):
+        """Square root in Fq2 (q ≡ 3 mod 4): Atkin-style algorithm used for
+        G2 point decompression."""
+        if self.is_zero():
+            return Fq2(0, 0)
+        # a1 = self^((q-3)/4)
+        a1 = self.pow((Q - 3) // 4)
+        alpha = a1.square() * self
+        x0 = a1 * self
+        if alpha.c0 == Q - 1 and alpha.c1 == 0:
+            # alpha == -1
+            return Fq2(-x0.c1, x0.c0)
+        b = (alpha + Fq2(1, 0)).pow(_Q_HALF)
+        cand = b * x0
+        if cand.square() == self:
+            return cand
+        return None
+
+    def pow(self, e: int):
+        result = Fq2(1, 0)
+        base = self
+        while e:
+            if e & 1:
+                result = result * base
+            base = base.square()
+            e >>= 1
+        return result
+
+    def __eq__(self, o):
+        return isinstance(o, Fq2) and self.c0 == o.c0 and self.c1 == o.c1
+
+    def __hash__(self):
+        return hash((self.c0, self.c1))
+
+    def __repr__(self):
+        return f"Fq2(0x{self.c0:x}, 0x{self.c1:x})"
+
+
+Fq2.ZERO = Fq2(0, 0)
+Fq2.ONE = Fq2(1, 0)
+
+XI = Fq2(1, 1)  # u + 1
+
+# Frobenius coefficients: xi^((q^i - 1)/3) and xi^((q^i - 1)/2) etc.
+_FROB_C1_6 = [XI.pow((Q**i - 1) // 3) for i in range(6)]  # for Fq6 c1
+_FROB_C2_6 = [XI.pow(2 * (Q**i - 1) // 3) for i in range(6)]  # for Fq6 c2
+_FROB_12 = [XI.pow((Q**i - 1) // 6) for i in range(12)]  # for Fq12 c1
+
+
+class Fq6:
+    __slots__ = ("c0", "c1", "c2")
+
+    def __init__(self, c0: Fq2, c1: Fq2, c2: Fq2):
+        self.c0, self.c1, self.c2 = c0, c1, c2
+
+    @staticmethod
+    def zero():
+        return Fq6(Fq2.ZERO, Fq2.ZERO, Fq2.ZERO)
+
+    @staticmethod
+    def one():
+        return Fq6(Fq2.ONE, Fq2.ZERO, Fq2.ZERO)
+
+    def __add__(self, o):
+        return Fq6(self.c0 + o.c0, self.c1 + o.c1, self.c2 + o.c2)
+
+    def __sub__(self, o):
+        return Fq6(self.c0 - o.c0, self.c1 - o.c1, self.c2 - o.c2)
+
+    def __neg__(self):
+        return Fq6(-self.c0, -self.c1, -self.c2)
+
+    def __mul__(self, o):
+        a0, a1, a2 = self.c0, self.c1, self.c2
+        b0, b1, b2 = o.c0, o.c1, o.c2
+        v0 = a0 * b0
+        v1 = a1 * b1
+        v2 = a2 * b2
+        c0 = ((a1 + a2) * (b1 + b2) - v1 - v2).mul_by_xi() + v0
+        c1 = (a0 + a1) * (b0 + b1) - v0 - v1 + v2.mul_by_xi()
+        c2 = (a0 + a2) * (b0 + b2) - v0 - v2 + v1
+        return Fq6(c0, c1, c2)
+
+    def square(self):
+        return self * self
+
+    def mul_by_v(self):
+        # (c0 + c1 v + c2 v^2) * v = c2 xi + c0 v + c1 v^2
+        return Fq6(self.c2.mul_by_xi(), self.c0, self.c1)
+
+    def invert(self):
+        a, b, c = self.c0, self.c1, self.c2
+        t0 = a.square() - (b * c).mul_by_xi()
+        t1 = c.square().mul_by_xi() - a * b
+        t2 = b.square() - a * c
+        denom = a * t0 + (c * t1).mul_by_xi() + (b * t2).mul_by_xi()
+        dinv = denom.invert()
+        if dinv is None:
+            return None
+        return Fq6(t0 * dinv, t1 * dinv, t2 * dinv)
+
+    def frobenius(self):
+        return Fq6(
+            self.c0.frobenius(),
+            self.c1.frobenius() * _FROB_C1_6[1],
+            self.c2.frobenius() * _FROB_C2_6[1],
+        )
+
+    def is_zero(self):
+        return self.c0.is_zero() and self.c1.is_zero() and self.c2.is_zero()
+
+    def __eq__(self, o):
+        return self.c0 == o.c0 and self.c1 == o.c1 and self.c2 == o.c2
+
+    def __hash__(self):
+        return hash((self.c0, self.c1, self.c2))
+
+
+class Fq12:
+    __slots__ = ("c0", "c1")
+
+    def __init__(self, c0: Fq6, c1: Fq6):
+        self.c0, self.c1 = c0, c1
+
+    @staticmethod
+    def zero():
+        return Fq12(Fq6.zero(), Fq6.zero())
+
+    @staticmethod
+    def one():
+        return Fq12(Fq6.one(), Fq6.zero())
+
+    def __add__(self, o):
+        return Fq12(self.c0 + o.c0, self.c1 + o.c1)
+
+    def __sub__(self, o):
+        return Fq12(self.c0 - o.c0, self.c1 - o.c1)
+
+    def __neg__(self):
+        return Fq12(-self.c0, -self.c1)
+
+    def __mul__(self, o):
+        v0 = self.c0 * o.c0
+        v1 = self.c1 * o.c1
+        c0 = v0 + v1.mul_by_v()
+        c1 = (self.c0 + self.c1) * (o.c0 + o.c1) - v0 - v1
+        return Fq12(c0, c1)
+
+    def square(self):
+        return self * self
+
+    def conjugate(self):
+        """f^(q^6): negates the w component."""
+        return Fq12(self.c0, -self.c1)
+
+    def invert(self):
+        # 1/(a + bw) = (a - bw)/(a^2 - b^2 v)
+        denom = self.c0.square() - self.c1.square().mul_by_v()
+        dinv = denom.invert()
+        if dinv is None:
+            return None
+        return Fq12(self.c0 * dinv, -(self.c1 * dinv))
+
+    def frobenius(self):
+        c0 = self.c0.frobenius()
+        c1f = self.c1.frobenius()
+        coef = _FROB_12[1]
+        c1 = Fq6(c1f.c0 * coef, c1f.c1 * coef, c1f.c2 * coef)
+        return Fq12(c0, c1)
+
+    def pow(self, e: int):
+        result = Fq12.one()
+        base = self
+        while e:
+            if e & 1:
+                result = result * base
+            base = base.square()
+            e >>= 1
+        return result
+
+    def is_one(self):
+        return self.c0 == Fq6.one() and self.c1.is_zero()
+
+    def is_zero(self):
+        return self.c0.is_zero() and self.c1.is_zero()
+
+    def __eq__(self, o):
+        return self.c0 == o.c0 and self.c1 == o.c1
+
+    def __hash__(self):
+        return hash((self.c0, self.c1))
+
+
+# w and its inverse powers, for the G2 untwist map.
+_W = Fq12(Fq6.zero(), Fq6.one())
+_W_INV = _W.invert()
+_W2_INV = _W_INV * _W_INV
+_W3_INV = _W2_INV * _W_INV
+
+
+# ---------------------------------------------------------------------------
+# Curve points. Generic short-Weierstrass y^2 = x^3 + b over a field class.
+
+class _CurvePoint:
+    """Affine point or infinity over field elements supporting the ops above.
+
+    Used for G1 (ints mod Q), G2 (Fq2) and the pairing's E(Fq12).
+    Host-side code keeps affine with modular inversion — correctness layer;
+    the throughput path is the batched Jacobian JAX implementation in ops/.
+    """
+
+    __slots__ = ("x", "y", "inf")
+
+    # subclass config
+    B = None
+    FIELD_ONE = None
+
+    def __init__(self, x, y, inf=False):
+        self.x, self.y, self.inf = x, y, inf
+
+    @classmethod
+    def identity(cls):
+        return cls(None, None, True)
+
+    @classmethod
+    def from_xy(cls, x, y):
+        return cls(x, y, False)
+
+    def is_identity(self):
+        return self.inf
+
+    def __neg__(self):
+        if self.inf:
+            return self
+        return type(self)(self.x, -self.y, False)
+
+    def __add__(self, o):
+        if self.inf:
+            return o
+        if o.inf:
+            return self
+        if self.x == o.x:
+            if self.y == o.y:
+                return self.double()
+            return type(self).identity()
+        lam = (o.y - self.y) * (o.x - self.x).invert()
+        x3 = lam * lam - self.x - o.x
+        y3 = lam * (self.x - x3) - self.y
+        return type(self)(x3, y3, False)
+
+    def __sub__(self, o):
+        return self + (-o)
+
+    def double(self):
+        if self.inf:
+            return self
+        if self.y.is_zero() if hasattr(self.y, "is_zero") else self.y == 0:
+            return type(self).identity()
+        three_x2 = self.x * self.x
+        three_x2 = three_x2 + three_x2 + three_x2
+        lam = three_x2 * (self.y + self.y).invert()
+        x3 = lam * lam - self.x - self.x
+        y3 = lam * (self.x - x3) - self.y
+        return type(self)(x3, y3, False)
+
+    def mul_int(self, k: int):
+        if k < 0:
+            return (-self).mul_int(-k)
+        acc = type(self).identity()
+        p = self
+        while k:
+            if k & 1:
+                acc = acc + p
+            p = p.double()
+            k >>= 1
+        return acc
+
+    def __mul__(self, k: int):
+        return self.mul_int(k)
+
+    __rmul__ = __mul__
+
+    def __eq__(self, o):
+        if self.inf or o.inf:
+            return self.inf and o.inf
+        return self.x == o.x and self.y == o.y
+
+    def __hash__(self):
+        if self.inf:
+            return hash("inf")
+        return hash((self.x, self.y))
+
+
+class _FqElt:
+    """Minimal wrapper giving raw ints the interface _CurvePoint needs."""
+    __slots__ = ("n",)
+
+    def __init__(self, n: int):
+        self.n = n % Q
+
+    def __add__(self, o):
+        return _FqElt(self.n + o.n)
+
+    def __sub__(self, o):
+        return _FqElt(self.n - o.n)
+
+    def __neg__(self):
+        return _FqElt(-self.n)
+
+    def __mul__(self, o):
+        return _FqElt(self.n * o.n)
+
+    def invert(self):
+        return _FqElt(pow(self.n, -1, Q))
+
+    def is_zero(self):
+        return self.n == 0
+
+    def __eq__(self, o):
+        return isinstance(o, _FqElt) and self.n == o.n
+
+    def __hash__(self):
+        return hash(self.n)
+
+
+class G1(_CurvePoint):
+    """E(Fq): y^2 = x^3 + 4."""
+    B = _FqElt(4)
+
+    @staticmethod
+    def generator() -> "G1":
+        return G1.from_xy(
+            _FqElt(0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB),
+            _FqElt(0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1),
+        )
+
+    def is_on_curve(self) -> bool:
+        if self.inf:
+            return True
+        return self.y * self.y == self.x * self.x * self.x + G1.B
+
+    def is_torsion_free(self) -> bool:
+        return self.mul_int(R).is_identity()
+
+    # --- zcash/blst serialization ---
+    def to_compressed(self) -> bytes:
+        if self.inf:
+            return bytes([0xC0] + [0] * 47)
+        b = bytearray(self.x.n.to_bytes(48, "big"))
+        b[0] |= 0x80
+        if self.y.n > _Q_HALF:
+            b[0] |= 0x20
+        return bytes(b)
+
+    def to_uncompressed(self) -> bytes:
+        if self.inf:
+            return bytes([0x40] + [0] * 95)
+        return self.x.n.to_bytes(48, "big") + self.y.n.to_bytes(48, "big")
+
+    @staticmethod
+    def from_uncompressed(data: bytes, check_curve: bool = True) -> "G1 | None":
+        assert len(data) == 96
+        flags = data[0]
+        if flags & 0x80:
+            return None  # compression bit set on uncompressed encoding
+        if flags & 0x40:
+            if any(b for b in bytes([flags & 0x3F]) + data[1:]):
+                return None
+            return G1.identity()
+        if flags & 0x20:
+            return None
+        x = int.from_bytes(data[:48], "big")
+        y = int.from_bytes(data[48:], "big")
+        if x >= Q or y >= Q:
+            return None
+        p = G1.from_xy(_FqElt(x), _FqElt(y))
+        if check_curve and not p.is_on_curve():
+            return None
+        return p
+
+    @staticmethod
+    def from_compressed(data: bytes, check_subgroup: bool = True) -> "G1 | None":
+        assert len(data) == 48
+        flags = data[0]
+        if not flags & 0x80:
+            return None
+        infinity = bool(flags & 0x40)
+        sort = bool(flags & 0x20)
+        x = int.from_bytes(bytes([flags & 0x1F]) + data[1:], "big")
+        if infinity:
+            if sort or x != 0:
+                return None
+            return G1.identity()
+        if x >= Q:
+            return None
+        y2 = (x * x % Q * x + 4) % Q
+        y = pow(y2, (Q + 1) // 4, Q)
+        if y * y % Q != y2:
+            return None
+        if (y > _Q_HALF) != sort:
+            y = Q - y
+        p = G1.from_xy(_FqElt(x), _FqElt(y))
+        if check_subgroup and not p.is_torsion_free():
+            return None
+        return p
+
+
+class G2(_CurvePoint):
+    """E'(Fq2): y^2 = x^3 + 4(u+1) — the M-twist used by blst."""
+    B = XI.mul_scalar(4)
+
+    @staticmethod
+    def generator() -> "G2":
+        return G2.from_xy(
+            Fq2(
+                0x024AA2B2F08F0A91260805272DC51051C6E47AD4FA403B02B4510B647AE3D1770BAC0326A805BBEFD48056C8C121BDB8,
+                0x13E02B6052719F607DACD3A088274F65596BD0D09920B61AB5DA61BBDC7F5049334CF11213945D57E5AC7D055D042B7E,
+            ),
+            Fq2(
+                0x0CE5D527727D6E118CC9CDC6DA2E351AADFD9BAA8CBDD3A76D429A695160D12C923AC9CC3BACA289E193548608B82801,
+                0x0606C4A02EA734CC32ACD2B02BC28B99CB3E287E85A763AF267492AB572E99AB3F370D275CEC1DA1AAA9075FF05F79BE,
+            ),
+        )
+
+    def is_on_curve(self) -> bool:
+        if self.inf:
+            return True
+        return self.y.square() == self.x.square() * self.x + G2.B
+
+    def is_torsion_free(self) -> bool:
+        return self.mul_int(R).is_identity()
+
+    def to_uncompressed(self) -> bytes:
+        if self.inf:
+            return bytes([0x40] + [0] * 191)
+        return (
+            self.x.c1.to_bytes(48, "big") + self.x.c0.to_bytes(48, "big")
+            + self.y.c1.to_bytes(48, "big") + self.y.c0.to_bytes(48, "big")
+        )
+
+    def to_compressed(self) -> bytes:
+        if self.inf:
+            return bytes([0xC0] + [0] * 95)
+        b = bytearray(self.x.c1.to_bytes(48, "big") + self.x.c0.to_bytes(48, "big"))
+        b[0] |= 0x80
+        # y lexicographically largest: compare (c1, c0)
+        if (self.y.c1, self.y.c0) > (Q - self.y.c1 if self.y.c1 else 0,
+                                     Q - self.y.c0 if self.y.c0 else 0):
+            b[0] |= 0x20
+        return bytes(b)
+
+    @staticmethod
+    def from_uncompressed(data: bytes, check_curve: bool = True) -> "G2 | None":
+        assert len(data) == 192
+        flags = data[0]
+        if flags & 0x80:
+            return None
+        if flags & 0x40:
+            if any(bytes([flags & 0x3F]) + data[1:]):
+                return None
+            return G2.identity()
+        if flags & 0x20:
+            return None
+        xc1 = int.from_bytes(data[0:48], "big")
+        xc0 = int.from_bytes(data[48:96], "big")
+        yc1 = int.from_bytes(data[96:144], "big")
+        yc0 = int.from_bytes(data[144:192], "big")
+        if max(xc1, xc0, yc1, yc0) >= Q:
+            return None
+        p = G2.from_xy(Fq2(xc0, xc1), Fq2(yc0, yc1))
+        if check_curve and not p.is_on_curve():
+            return None
+        return p
+
+    @staticmethod
+    def from_compressed(data: bytes, check_subgroup: bool = True) -> "G2 | None":
+        assert len(data) == 96
+        flags = data[0]
+        if not flags & 0x80:
+            return None
+        infinity = bool(flags & 0x40)
+        sort = bool(flags & 0x20)
+        xc1 = int.from_bytes(bytes([flags & 0x1F]) + data[1:48], "big")
+        xc0 = int.from_bytes(data[48:96], "big")
+        if infinity:
+            if sort or xc1 or xc0:
+                return None
+            return G2.identity()
+        if xc1 >= Q or xc0 >= Q:
+            return None
+        x = Fq2(xc0, xc1)
+        y = (x.square() * x + G2.B).sqrt()
+        if y is None:
+            return None
+        neg = Fq2(-y.c0, -y.c1)
+        is_largest = (y.c1, y.c0) > (neg.c1, neg.c0)
+        if is_largest != sort:
+            y = neg
+        p = G2.from_xy(x, y)
+        if check_subgroup and not p.is_torsion_free():
+            return None
+        return p
+
+
+class _E12(_CurvePoint):
+    """E(Fq12): y^2 = x^3 + 4, home of untwisted G2 points for the pairing."""
+    pass
+
+
+def _untwist(q: G2) -> _E12:
+    """psi: E'(Fq2) -> E(Fq12), (x, y) -> (x / w^2, y / w^3)."""
+    x6 = Fq6(q.x, Fq2.ZERO, Fq2.ZERO)
+    y6 = Fq6(q.y, Fq2.ZERO, Fq2.ZERO)
+    X = Fq12(x6, Fq6.zero()) * _W2_INV
+    Y = Fq12(y6, Fq6.zero()) * _W3_INV
+    return _E12.from_xy(X, Y)
+
+
+def _embed_g1(p: G1) -> tuple[Fq12, Fq12]:
+    def lift(n: int) -> Fq12:
+        return Fq12(Fq6(Fq2(n, 0), Fq2.ZERO, Fq2.ZERO), Fq6.zero())
+    return lift(p.x.n), lift(p.y.n)
+
+
+def _line(T: _E12, S: _E12, px: Fq12, py: Fq12) -> Fq12:
+    """Evaluate the line through T and S (or the tangent when T == S) at
+    the embedded G1 point (px, py)."""
+    if T.x == S.x and T.y == S.y:
+        three_x2 = T.x * T.x
+        three_x2 = three_x2 + three_x2 + three_x2
+        lam = three_x2 * (T.y + T.y).invert()
+    else:
+        lam = (S.y - T.y) * (S.x - T.x).invert()
+    return py - T.y - lam * (px - T.x)
+
+
+def multi_miller_loop(pairs: list[tuple[G1, G2]]) -> Fq12:
+    """Product of Miller loops for the given (P, Q) pairs — the batched form
+    the Groth16 verifier wants (one shared squaring chain)."""
+    pairs = [
+        (_embed_g1(p), _untwist(q))
+        for (p, q) in pairs
+        if not (p.is_identity() or q.is_identity())
+    ]
+    if not pairs:
+        return Fq12.one()
+    f = Fq12.one()
+    Ts = [q for (_, q) in pairs]
+    bits = bin(BLS_X)[3:]  # skip the leading 1
+    for bit in bits:
+        f = f * f
+        for i, ((px, py), q) in enumerate(pairs):
+            f = f * _line(Ts[i], Ts[i], px, py)
+            Ts[i] = Ts[i].double()
+        if bit == "1":
+            for i, ((px, py), q) in enumerate(pairs):
+                f = f * _line(Ts[i], q, px, py)
+                Ts[i] = Ts[i] + q
+    if BLS_X_IS_NEGATIVE:
+        f = f.conjugate()
+    return f
+
+
+def final_exponentiation(f: Fq12) -> Fq12:
+    """f^((q^12 - 1) / r). Easy part via frobenius/inverse; hard part by
+    direct exponentiation with the exact integer exponent (host-side, not
+    perf-critical)."""
+    # easy part: f^((q^6 - 1)(q^2 + 1))
+    f1 = f.conjugate()  # f^(q^6)
+    f2 = f.invert()
+    assert f2 is not None
+    f = f1 * f2
+    f = f.frobenius().frobenius() * f
+    # hard part: exponent (q^4 - q^2 + 1) / r
+    d = (Q**4 - Q**2 + 1) // R
+    return f.pow(d)
+
+
+def pairing(p: G1, q: G2) -> Fq12:
+    return final_exponentiation(multi_miller_loop([(p, q)]))
+
+
+def pairing_product_is_one(pairs: list[tuple[G1, G2]]) -> bool:
+    """prod e(P_i, Q_i) == 1 — the form all Groth16 checks reduce to."""
+    return final_exponentiation(multi_miller_loop(pairs)).is_one()
+
+
+__all__ = [
+    "Q", "R", "BLS_X", "Fq2", "Fq6", "Fq12", "G1", "G2", "XI",
+    "multi_miller_loop", "final_exponentiation", "pairing",
+    "pairing_product_is_one",
+]

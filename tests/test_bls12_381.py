@@ -1,0 +1,86 @@
+"""BLS12-381 group, serialization, and pairing tests (host gold layer)."""
+
+import pytest
+
+from masp_tpu.curves.bls12_381 import (
+    G1, G2, R, Fq2, pairing, pairing_product_is_one,
+)
+
+
+def test_generators_valid():
+    g1, g2 = G1.generator(), G2.generator()
+    assert g1.is_on_curve() and g2.is_on_curve()
+    assert g1.is_torsion_free() and g2.is_torsion_free()
+    assert (g1 * R).is_identity() and (g2 * R).is_identity()
+
+
+def test_group_law():
+    g = G1.generator()
+    assert g.double() == g + g
+    assert (g * 5) == g + g + g + g + g
+    assert (g - g).is_identity()
+    h = G2.generator()
+    assert h.double() == h + h
+    assert (h * 3) == h + h + h
+
+
+def test_canonical_compressed_encodings():
+    # Canonical encodings from the BLS12-381 spec.
+    assert G1.generator().to_compressed().hex() == (
+        "97f1d3a73197d7942695638c4fa9ac0fc3688c4f9774b905a14e3a3f171bac58"
+        "6c55e83ff97a1aeffb3af00adb22c6bb"
+    )
+    assert G2.generator().to_compressed().hex() == (
+        "93e02b6052719f607dacd3a088274f65596bd0d09920b61ab5da61bbdc7f5049"
+        "334cf11213945d57e5ac7d055d042b7e024aa2b2f08f0a91260805272dc51051"
+        "c6e47ad4fa403b02b4510b647ae3d1770bac0326a805bbefd48056c8c121bdb8"
+    )
+
+
+@pytest.mark.parametrize("k", [1, 2, 777, 123456789])
+def test_serialization_roundtrip(k):
+    p = G1.generator() * k
+    assert G1.from_uncompressed(p.to_uncompressed()) == p
+    assert G1.from_compressed(p.to_compressed()) == p
+    q = G2.generator() * k
+    assert G2.from_uncompressed(q.to_uncompressed()) == q
+    assert G2.from_compressed(q.to_compressed()) == q
+
+
+def test_identity_serialization():
+    assert G1.from_compressed(G1.identity().to_compressed()).is_identity()
+    assert G2.from_compressed(G2.identity().to_compressed()).is_identity()
+    assert G1.from_uncompressed(G1.identity().to_uncompressed()).is_identity()
+    assert G2.from_uncompressed(G2.identity().to_uncompressed()).is_identity()
+
+
+def test_bad_encodings_rejected():
+    assert G1.from_compressed(b"\x00" * 48) is None  # no compression bit
+    assert G1.from_uncompressed(b"\xff" * 96) is None
+    # x not on curve
+    bad = bytearray(G1.generator().to_compressed())
+    bad[47] ^= 1
+    # either decompression fails or subgroup check fails
+    p = G1.from_compressed(bytes(bad))
+    assert p is None or not p.is_torsion_free()
+
+
+def test_pairing_bilinearity():
+    g1, g2 = G1.generator(), G2.generator()
+    e = pairing(g1, g2)
+    assert not e.is_one()
+    a, b = 12345, 67890
+    assert pairing(g1 * a, g2 * b) == e.pow(a * b % R)
+
+
+def test_pairing_product():
+    g1, g2 = G1.generator(), G2.generator()
+    a, b = 1111, 2222
+    assert pairing_product_is_one([(g1 * (a * b % R), g2), (-(g1 * a), g2 * b)])
+    assert not pairing_product_is_one([(g1 * 2, g2), (-(g1 * 3), g2)])
+
+
+def test_fq2_sqrt():
+    x = Fq2(1234567, 7654321)
+    s = x.square().sqrt()
+    assert s is not None and s.square() == x.square()
