@@ -2,6 +2,9 @@
 
 Multi-chip hardware is not available in CI; sharding tests validate against
 XLA's host-platform virtual devices (SURVEY.md §5.8 / environment notes).
+
+Note: this environment's sitecustomize pins JAX_PLATFORMS=axon (the real
+TPU tunnel), so we must override via jax.config, not the env var.
 """
 
 import os
@@ -11,4 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
