@@ -1,0 +1,29 @@
+"""masp_tpu: TPU-native MASP (multi-asset shielded pool) framework.
+
+Layers (mirroring SURVEY.md):
+  fields/curves   host-exact BLS12-381 + Jubjub (gold layer)
+  ops             TPU limb kernels: fields, groups, MSM, NTT
+  primitives      protocol: pedersen, keys, notes, redjubjub, assets
+  r1cs/circuits   constraint system + Spend/Output/Convert
+  groth16         parameter generation, proving, verification
+  note_encryption, transaction   wallet/tx layers
+"""
+
+import os
+
+# Persistent XLA compilation cache: the unrolled bignum graphs are expensive
+# to compile but fully static, so cache hits make reruns instant.
+if not os.environ.get("MASP_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/masp_tpu_xla"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - jax always present in practice
+        pass
+
+__version__ = "0.1.0"

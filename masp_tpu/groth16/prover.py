@@ -1,0 +1,222 @@
+"""Groth16 prover: witness synthesis -> NTT quotient -> TPU MSMs -> proof.
+
+Semantics match bellman ``create_random_proof`` (SURVEY.md §3.1): the same
+input constraints, density-filtered queries, coset-NTT h(x) computation and
+final proof assembly with randomizers r, s.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from masp_tpu.curves.bls12_381 import G1, G2, R
+from masp_tpu.groth16.domain import Domain
+from masp_tpu.groth16.generator import _add_input_constraints, _densities
+from masp_tpu.groth16.structures import Parameters, Proof
+from masp_tpu.ops import field_jax as F
+from masp_tpu.ops import msm as M
+from masp_tpu.ops import weierstrass_jax as W
+from masp_tpu.ops.field_jax import FR
+from masp_tpu.r1cs.cs import ProvingAssembly
+from masp_tpu.utils.rng import random_scalar
+
+MSM_C = 8
+MSM_LANES_G1 = 64
+MSM_LANES_G2 = 32
+
+
+def _eval_lc_rows(rows, inputs, aux):
+    out = []
+    for row in rows:
+        acc = 0
+        for v, c in row:
+            val = inputs[v // 2] if v % 2 == 0 else aux[v // 2]
+            acc += c * val
+        out.append(acc % R)
+    return out
+
+
+def _compute_h_coeffs(dom: Domain, a_vals, b_vals, c_vals):
+    """Device: h(x) coefficients from per-constraint evaluations.
+
+    a_vals/b_vals/c_vals: (m, L) Montgomery limb arrays (zero-padded)."""
+
+    def pipeline(a, b, c):
+        a = dom.coset_fft(dom.ifft(a))
+        b = dom.coset_fft(dom.ifft(b))
+        c = dom.coset_fft(dom.ifft(c))
+        t = F.sub(FR, F.mont_mul(FR, a, b), c)
+        t = dom.divide_by_z_on_coset(t)
+        h = dom.icoset_fft(t)
+        return h
+
+    key = ("h_pipeline", dom.m)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(pipeline)
+        _JIT_CACHE[key] = fn
+    return fn(a_vals, b_vals, c_vals)
+
+
+_JIT_CACHE: dict = {}
+
+
+def _msm_g1(points_affine_dev, digits, n):
+    """points_affine_dev: (X, Y) device arrays padded to lanes multiple."""
+    key = ("msm_g1", points_affine_dev[0].shape[0])
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        def run(px, py, pz, d):
+            return M.pippenger_msm(W.G1Ops, (px, py, pz), d, c=MSM_C, lanes=MSM_LANES_G1)
+
+        fn = jax.jit(run)
+        _JIT_CACHE[key] = fn
+    px, py, pz = points_affine_dev
+    out = fn(px, py, pz, digits)
+    from masp_tpu.ops.weierstrass_jax import decode_g1_points
+
+    return decode_g1_points(*(np.asarray(x)[None] for x in out))[0]
+
+
+def _msm_g2(points_affine_dev, digits):
+    key = ("msm_g2", points_affine_dev[0].shape[0])
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        def run(px, py, pz, d):
+            return M.pippenger_msm(W.G2Ops, (px, py, pz), d, c=MSM_C, lanes=MSM_LANES_G2)
+
+        fn = jax.jit(run)
+        _JIT_CACHE[key] = fn
+    px, py, pz = points_affine_dev
+    out = fn(px, py, pz, digits)
+    from masp_tpu.ops.weierstrass_jax import decode_g2_points
+
+    return decode_g2_points(*(np.asarray(x)[None] for x in out))[0]
+
+
+def _pad_to(n, mult):
+    return n + ((-n) % mult)
+
+
+def _encode_g1_padded(points, lanes):
+    n = _pad_to(len(points), lanes)
+    pts = list(points) + [G1.identity()] * (n - len(points))
+    return tuple(jnp.asarray(x) for x in W.encode_g1_points(pts))
+
+
+def _encode_g2_padded(points, lanes):
+    n = _pad_to(len(points), lanes)
+    pts = list(points) + [G2.identity()] * (n - len(points))
+    return tuple(jnp.asarray(x) for x in W.encode_g2_points(pts))
+
+
+def _digits_padded(scalars, n_padded):
+    d = M.scalars_to_digits(list(scalars) + [0] * (n_padded - len(scalars)), MSM_C, 256)
+    return jnp.asarray(d)
+
+
+def prepare_device_params(params: Parameters) -> None:
+    """Encode all proving queries once onto the device (cached in
+    params.device)."""
+    if "h" in params.device:
+        return
+    params.device["h"] = _encode_g1_padded(params.h, MSM_LANES_G1)
+    params.device["l"] = _encode_g1_padded(params.l, MSM_LANES_G1)
+    params.device["a"] = _encode_g1_padded(params.a, MSM_LANES_G1)
+    params.device["b_g1"] = _encode_g1_padded(params.b_g1, MSM_LANES_G1)
+    params.device["b_g2"] = _encode_g2_padded(params.b_g2, MSM_LANES_G2)
+
+
+def synthesize_witness(circuit):
+    """Run circuit synthesis with full assignments; returns the assembly
+    (with input constraints appended, as bellman's prover does)."""
+    cs = ProvingAssembly()
+    circuit.synthesize(cs)
+    _add_input_constraints(cs)
+    return cs
+
+
+def create_proof(circuit, params: Parameters, r: int, s: int) -> Proof:
+    cs = synthesize_witness(circuit)
+    return create_proof_from_assembly(cs, params, r, s)
+
+
+def create_proof_from_assembly(cs, params: Parameters, r: int, s: int) -> Proof:
+    prepare_device_params(params)
+
+    inputs, aux = cs.input_assignment, cs.aux_assignment
+    m = 1 << (cs.num_constraints - 1).bit_length()
+    dom = Domain(m)
+
+    # per-constraint evaluations, padded to m
+    a_vals = _eval_lc_rows(cs.a_rows, inputs, aux)
+    b_vals = _eval_lc_rows(cs.b_rows, inputs, aux)
+    c_vals = _eval_lc_rows(cs.c_rows, inputs, aux)
+    pad = m - len(a_vals)
+    az = jnp.asarray(F.encode(FR, a_vals + [0] * pad))
+    bz = jnp.asarray(F.encode(FR, b_vals + [0] * pad))
+    cz = jnp.asarray(F.encode(FR, c_vals + [0] * pad))
+
+    h_coeffs = _compute_h_coeffs(dom, az, bz, cz)  # (m, L) Montgomery
+    # bellman truncates the last coefficient (degree <= m-2)
+    h_n = len(params.h)
+    assert h_n == m - 1, (h_n, m)
+
+    # digits for h on device (canonical bytes)
+    h_digits_full = M.fr_digits_device(h_coeffs[: m - 1])
+    n_h_padded = params.device["h"][0].shape[0]
+    h_digits = jnp.zeros((n_h_padded, 32), dtype=jnp.int32)
+    h_digits = h_digits.at[: m - 1].set(h_digits_full)
+
+    h_answer = _msm_g1(params.device["h"], h_digits, m - 1)
+
+    # density-filtered exponent vectors
+    a_density, b_density = _densities(cs)
+    full_assignment = inputs + aux
+    a_exps = [full_assignment[i] for i in range(len(full_assignment)) if a_density[i]]
+    b_exps = [full_assignment[i] for i in range(len(full_assignment)) if b_density[i]]
+    assert len(a_exps) == len(params.a)
+    assert len(b_exps) == len(params.b_g1)
+
+    l_answer = _msm_g1(
+        params.device["l"], _digits_padded(aux, params.device["l"][0].shape[0]), len(aux)
+    )
+    a_answer = _msm_g1(
+        params.device["a"], _digits_padded(a_exps, params.device["a"][0].shape[0]), len(a_exps)
+    )
+    b1_answer = _msm_g1(
+        params.device["b_g1"], _digits_padded(b_exps, params.device["b_g1"][0].shape[0]), len(b_exps)
+    )
+    b2_answer = _msm_g2(
+        params.device["b_g2"], _digits_padded(b_exps, params.device["b_g2"][0].shape[0])
+    )
+
+    vk = params.vk
+    g_a = vk.delta_g1 * r + vk.alpha_g1 + a_answer
+    g_b = vk.delta_g2 * s + vk.beta_g2 + b2_answer
+    g_c = vk.delta_g1 * (r * s % R) + vk.alpha_g1 * s + vk.beta_g1 * r
+    g_c = g_c + h_answer + l_answer + a_answer * s + b1_answer * r
+
+    return Proof(a=_to_affine_host(g_a), b=_to_affine_host_g2(g_b), c=_to_affine_host(g_c))
+
+
+def _to_affine_host(p: G1) -> G1:
+    return p  # host points already affine
+
+
+def _to_affine_host_g2(p: G2) -> G2:
+    return p
+
+
+def create_random_proof(circuit, params: Parameters, rng) -> Proof:
+    r = random_scalar(rng).n
+    s = random_scalar(rng).n
+    return create_proof(circuit, params, r, s)
+
+
+__all__ = [
+    "create_proof", "create_random_proof", "create_proof_from_assembly",
+    "prepare_device_params", "synthesize_witness",
+]

@@ -1,0 +1,65 @@
+"""Groth16 verification: single and randomized-batch.
+
+Matches bellman ``verify_proof`` / bellperson ``verify_proofs_batch``
+semantics (SURVEY.md §3.2-3.3): e(A,B) = alpha*beta * e(acc, gamma) *
+e(C, delta), batched by random 128-bit linear combination.
+"""
+
+from __future__ import annotations
+
+from masp_tpu.curves.bls12_381 import (
+    G1, R, final_exponentiation, multi_miller_loop,
+)
+from masp_tpu.groth16.structures import PreparedVerifyingKey, Proof
+
+
+def verify_proof(pvk: PreparedVerifyingKey, proof: Proof, public_inputs: list[int]) -> bool:
+    if len(public_inputs) + 1 != len(pvk.ic):
+        return False
+    acc = pvk.ic[0]
+    for inp, point in zip(public_inputs, pvk.ic[1:]):
+        acc = acc + point * (inp % R)
+    ml = multi_miller_loop(
+        [
+            (proof.a, proof.b),
+            (acc, pvk.neg_gamma_g2),
+            (proof.c, pvk.neg_delta_g2),
+        ]
+    )
+    return final_exponentiation(ml) == pvk.alpha_g1_beta_g2
+
+
+def verify_proofs_batch(
+    pvk: PreparedVerifyingKey,
+    rng,
+    proofs: list[Proof],
+    public_inputs: list[list[int]],
+) -> bool:
+    """Random linear combination batch verification:
+    prod_i e(z_i A_i, B_i) == (alpha*beta)^(sum z_i) * e(sum z_i acc_i, gamma)
+                              * e(sum z_i C_i, delta)."""
+    for pi in public_inputs:
+        if len(pi) + 1 != len(pvk.ic):
+            return False
+    zs = [int.from_bytes(rng.fill_bytes(16), "little") for _ in proofs]
+
+    sum_z = 0
+    acc_gamma = G1.identity()
+    acc_delta = G1.identity()
+    pairs = []
+    for proof, inputs, z in zip(proofs, public_inputs, zs):
+        sum_z = (sum_z + z) % R
+        acc = pvk.ic[0]
+        for inp, point in zip(inputs, pvk.ic[1:]):
+            acc = acc + point * (inp % R)
+        acc_gamma = acc_gamma + acc * z
+        acc_delta = acc_delta + proof.c * z
+        pairs.append((proof.a * z, proof.b))
+
+    pairs.append((acc_gamma, pvk.neg_gamma_g2))
+    pairs.append((acc_delta, pvk.neg_delta_g2))
+    ml = multi_miller_loop(pairs)
+    return final_exponentiation(ml) == pvk.alpha_g1_beta_g2.pow(sum_z)
+
+
+__all__ = ["verify_proof", "verify_proofs_batch"]

@@ -29,12 +29,31 @@ from masp_tpu.ops import weierstrass_jax as W
 def scalars_to_digits(scalars: list[int], c: int, num_bits: int = 255) -> np.ndarray:
     """[N] ints -> (N, W) int32 window digits, W = ceil(num_bits / c)."""
     n_windows = -(-num_bits // c)
+    if c == 8:  # fast path: digits are bytes
+        nbytes = -(-num_bits // 8)
+        buf = b"".join(int(s).to_bytes(nbytes, "little") for s in scalars)
+        arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(scalars), nbytes)
+        return arr[:, :n_windows].astype(np.int32)
     out = np.zeros((len(scalars), n_windows), dtype=np.int32)
     mask = (1 << c) - 1
     for i, s in enumerate(scalars):
         for w in range(n_windows):
             out[i, w] = (s >> (c * w)) & mask
     return out
+
+
+def fr_digits_device(x_mont):
+    """Device path: Montgomery Fr limbs (N, 16) -> byte digits (N, 32)
+    int32 (c = 8), avoiding a host roundtrip for NTT outputs."""
+    import jax.numpy as _jnp
+
+    from masp_tpu.ops import field_jax as F
+
+    canon = F.from_mont(F.FR, x_mont)  # 16-bit limbs, canonical
+    lo = (canon & 0xFF).astype(_jnp.int32)
+    hi = (canon >> 8).astype(_jnp.int32)
+    n = canon.shape[0]
+    return _jnp.stack([lo, hi], axis=-1).reshape(n, 32)
 
 
 # ---------------------------------------------------------------------------
