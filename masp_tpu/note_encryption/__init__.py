@@ -45,6 +45,13 @@ def chacha20_block1_decrypt(key: bytes, data: bytes) -> bytes:
     return cipher.decryptor().update(data)
 
 
+
+def _get(output, name):
+    """Duck-typed ShieldedOutput accessor: attribute or zero-arg method."""
+    v = getattr(output, name)
+    return v() if callable(v) else v
+
+
 class NoteEncryption:
     """Encryption context enforcing fresh esk (lib.rs:367-482).
 
@@ -116,7 +123,7 @@ def _parse_without_memo_ivk(domain, ivk, ephemeral_key, cmstar_bytes, plaintext)
 def try_note_decryption(domain, ivk, output):
     """output: ShieldedOutput-like with ephemeral_key(), cmstar_bytes(),
     enc_ciphertext() (612 bytes). Returns (note, to, memo) or None."""
-    ephemeral_key = output.ephemeral_key()
+    ephemeral_key = _get(output, "ephemeral_key")
     epk = domain.epk(ephemeral_key)
     if epk is None:
         return None
@@ -126,12 +133,12 @@ def try_note_decryption(domain, ivk, output):
 
 
 def _try_note_decryption_inner(domain, ivk, ephemeral_key, output, key):
-    enc = output.enc_ciphertext()
+    enc = _get(output, "enc_ciphertext")
     plaintext = aead_decrypt(key, enc)
     if plaintext is None:
         return None
     parsed = _parse_without_memo_ivk(
-        domain, ivk, ephemeral_key, output.cmstar_bytes(), plaintext
+        domain, ivk, ephemeral_key, _get(output, "cmstar_bytes"), plaintext
     )
     if parsed is None:
         return None
@@ -142,7 +149,7 @@ def _try_note_decryption_inner(domain, ivk, ephemeral_key, output, key):
 
 def try_compact_note_decryption(domain, ivk, output):
     """Compact path: 84-byte ciphertext, keystream seeked past block 0."""
-    ephemeral_key = output.ephemeral_key()
+    ephemeral_key = _get(output, "ephemeral_key")
     epk = domain.epk(ephemeral_key)
     if epk is None:
         return None
@@ -152,16 +159,16 @@ def try_compact_note_decryption(domain, ivk, output):
 
 
 def _try_compact_note_decryption_inner(domain, ivk, ephemeral_key, output, key):
-    enc = output.enc_ciphertext()
+    enc = _get(output, "enc_ciphertext")
     assert len(enc) == COMPACT_NOTE_SIZE
     plaintext = chacha20_block1_decrypt(key, enc)
     return _parse_without_memo_ivk(
-        domain, ivk, ephemeral_key, output.cmstar_bytes(), plaintext
+        domain, ivk, ephemeral_key, _get(output, "cmstar_bytes"), plaintext
     )
 
 
 def try_output_recovery_with_ovk(domain, ovk, output, cv, out_ciphertext):
-    ock = domain.derive_ock(ovk, cv, output.cmstar_bytes(), output.ephemeral_key())
+    ock = domain.derive_ock(ovk, cv, _get(output, "cmstar_bytes"), _get(output, "ephemeral_key"))
     return try_output_recovery_with_ock(domain, ock, output, out_ciphertext)
 
 
@@ -173,10 +180,10 @@ def try_output_recovery_with_ock(domain, ock: bytes, output, out_ciphertext: byt
     esk = domain.extract_esk(op)
     if pk_d is None or esk is None:
         return None
-    ephemeral_key = output.ephemeral_key()
+    ephemeral_key = _get(output, "ephemeral_key")
     shared_secret = domain.ka_agree_enc(esk, pk_d)
     key = domain.kdf(shared_secret, ephemeral_key)
-    plaintext = aead_decrypt(key, output.enc_ciphertext())
+    plaintext = aead_decrypt(key, _get(output, "enc_ciphertext"))
     if plaintext is None:
         return None
     parsed = domain.parse_note_plaintext_without_memo_ovk(
@@ -189,7 +196,7 @@ def try_output_recovery_with_ock(domain, ock: bytes, output, out_ciphertext: byt
     derived_esk = domain.derive_esk(note)
     if derived_esk is not None and derived_esk != esk:
         return None
-    if not _check_note_validity(domain, note, ephemeral_key, output.cmstar_bytes()):
+    if not _check_note_validity(domain, note, ephemeral_key, _get(output, "cmstar_bytes")):
         return None
     return note, to, memo
 
@@ -212,7 +219,7 @@ def _batch(ivks, outputs, decrypt_inner):
     if not outputs:
         return []
     domain0 = outputs[0][0]
-    ephemeral_keys = domain0.batch_epk([o.ephemeral_key() for (_d, o) in outputs])
+    ephemeral_keys = domain0.batch_epk([_get(o, "ephemeral_key") for (_d, o) in outputs])
     shared = []
     for epk, ephemeral_key in ephemeral_keys:
         for ivk in ivks:

@@ -26,6 +26,29 @@ import numpy as np
 from masp_tpu.ops import weierstrass_jax as W
 
 
+
+def _traced_identity(fops, like, batch_shape):
+    """Identity points (0 : 1 : 0) of shape batch_shape + coord_shape, built
+    from a traced array so the (possibly huge) state is an in-graph broadcast
+    rather than a multi-hundred-MB constant literal embedded in the HLO."""
+    import jax.numpy as _jnp
+    import numpy as _np
+
+    from masp_tpu.ops.field_jax import FQ as _FQ
+
+    zero_el = _jnp.zeros_like(like[(0,) * (like.ndim - len(fops.coord_shape))])
+    big_zero = _jnp.broadcast_to(zero_el, tuple(batch_shape) + fops.coord_shape)
+    if len(fops.coord_shape) == 1:  # Fq
+        one_small = _np.asarray(_FQ.ONE_MONT, dtype=_np.uint32)
+    else:  # Fq2: (ONE_MONT, 0)
+        one_small = _np.stack(
+            [_np.asarray(_FQ.ONE_MONT, dtype=_np.uint32),
+             _np.zeros(_FQ.L, dtype=_np.uint32)]
+        )
+    big_one = big_zero + one_small
+    return (big_zero, big_one, big_zero)
+
+
 def scalars_to_digits(scalars: list[int], c: int, num_bits: int = 255) -> np.ndarray:
     """[N] ints -> (N, W) int32 window digits, W = ceil(num_bits / c)."""
     n_windows = -(-num_bits // c)
@@ -91,7 +114,7 @@ def fixed_base_scalarmuls(fops, table_xyz, digits):
         return W.g_add(fops, acc, pt)
 
     N = digits.shape[0]
-    acc0 = W.identity_like(fops, jnp.zeros((N,) + fops.coord_shape, dtype=jnp.uint32))
+    acc0 = _traced_identity(fops, TX, (N,))
     return jax.lax.fori_loop(0, n_windows, body, acc0)
 
 
@@ -115,8 +138,7 @@ def pippenger_msm(fops, points_xyz, digits, c: int, lanes: int = 64):
     steps = N // lanes
 
     cshape = fops.coord_shape
-    zeros = jnp.zeros((lanes, n_windows, B) + cshape, dtype=jnp.uint32)
-    state = W.identity_like(fops, zeros)
+    state = _traced_identity(fops, PX, (lanes, n_windows, B))
 
     lane_idx = jnp.arange(lanes)[:, None]  # (lanes, 1)
     win_idx = jnp.arange(n_windows)[None, :]  # (1, W)
@@ -146,7 +168,7 @@ def pippenger_msm(fops, points_xyz, digits, c: int, lanes: int = 64):
     # combine lanes sequentially: (lanes, W, B) -> (W, B); body compiles
     # once, total work lanes * W * B adds (~10% of the main loop)
     SX, SY, SZ = state
-    acc0 = W.identity_like(fops, jnp.zeros((n_windows, B) + cshape, dtype=jnp.uint32))
+    acc0 = _traced_identity(fops, PX, (n_windows, B))
 
     def lane_body(p, acc):
         return W.g_add(fops, acc, (SX[p], SY[p], SZ[p]))
@@ -156,7 +178,7 @@ def pippenger_msm(fops, points_xyz, digits, c: int, lanes: int = 64):
     # weighted bucket reduction: window[w] = sum_k k * bucket[w, k]
     # running-suffix trick from the top bucket down to 1.
     bx, by, bz = state
-    ident_w = W.identity_like(fops, jnp.zeros((n_windows,) + cshape, dtype=jnp.uint32))
+    ident_w = _traced_identity(fops, PX, (n_windows,))
 
     def bucket_body(j, carry):
         running, acc = carry
@@ -169,7 +191,7 @@ def pippenger_msm(fops, points_xyz, digits, c: int, lanes: int = 64):
     _, window_sums = jax.lax.fori_loop(0, B - 1, bucket_body, (ident_w, ident_w))
 
     # Horner over windows: result = sum_w 2^(c*w) window[w]
-    ident_1 = W.identity_like(fops, jnp.zeros((1,) + cshape, dtype=jnp.uint32))
+    ident_1 = _traced_identity(fops, PX, (1,))
 
     def window_body(j, acc):
         w = n_windows - 1 - j
