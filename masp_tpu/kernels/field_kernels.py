@@ -1,0 +1,338 @@
+"""Pallas TPU kernels for limb field arithmetic and fused curve ops.
+
+Why: the pure-XLA limb graphs (ops/field_jax.py) are correct but each field
+mul unrolls to ~600 HLO ops, so composite programs (MSM loops) take minutes
+to lower/compile. Here the same arithmetic is a single Mosaic kernel: the
+XLA graph sees one custom call per point-add, lowering collapses ~100x, and
+limbs stay in VMEM across the entire curve formula (no materialized
+intermediates).
+
+Layout: kernels work limb-major — an element batch is (B1, L, 128) uint32
+(batch split into 128-lane groups, limbs on sublanes). Wrappers convert from
+the (B, L) layout the rest of ops/ uses.
+
+Falls back to interpret mode off-TPU (CPU tests / virtual meshes).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from masp_tpu.ops.field_jax import FQ, FR, FieldSpec
+
+LANE = 128
+MASK = 0xFFFF  # python int: folds into ops, no captured constant
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# --- row-level field arithmetic (inside kernels) ---------------------------
+# A field element batch inside a kernel is a list of L arrays ("rows"), each
+# (TB, 128) uint32 with values < 2^16 (except transient lazy columns).
+
+
+def rows_mont_mul(spec: FieldSpec, a, b):
+    """Montgomery product on row lists; returns L rows."""
+    L = spec.L
+    n0 = int(spec.n0inv)
+    Nl = [int(x) for x in spec.N]
+    cols = [None] * (2 * L + 1)
+    for i in range(L):
+        ai = a[i]
+        for j in range(L):
+            p = ai * b[j]
+            lo = p & MASK
+            hi = p >> 16
+            cols[i + j] = lo if cols[i + j] is None else cols[i + j] + lo
+            cols[i + j + 1] = hi if cols[i + j + 1] is None else cols[i + j + 1] + hi
+    # CIOS
+    for _ in range(L):
+        m = (cols[0] * n0) & MASK
+        for j in range(L):
+            mn = m * Nl[j]
+            cols[j] = cols[j] + (mn & MASK)
+            cols[j + 1] = cols[j + 1] + (mn >> 16)
+        cols[1] = cols[1] + (cols[0] >> 16)
+        cols = cols[1:]
+    return rows_carry_reduce(spec, cols[:L])
+
+
+def rows_carry_reduce(spec: FieldSpec, t):
+    """Carry-propagate L lazy rows (< 2^24, value < 2N) + conditional
+    subtract N."""
+    L = spec.L
+    out = []
+    c = jnp.zeros_like(t[0])
+    for i in range(L):
+        v = t[i] + c
+        out.append(v & MASK)
+        c = v >> 16
+    # subtract N with borrow (signed arithmetic)
+    diff = []
+    borrow = jnp.zeros_like(c, dtype=jnp.int32)
+    for i in range(L):
+        v = out[i].astype(jnp.int32) - int(spec.N[i]) - borrow
+        diff.append((v & 0xFFFF).astype(jnp.uint32))
+        borrow = (v < 0).astype(jnp.int32)
+    ge = jnp.logical_or(c > 0, borrow == 0)
+    return [jnp.where(ge, d, o) for d, o in zip(diff, out)]
+
+
+def rows_add(spec: FieldSpec, a, b):
+    return rows_carry_reduce(spec, [x + y for x, y in zip(a, b)])
+
+
+def rows_sub(spec: FieldSpec, a, b):
+    L = spec.L
+    out = []
+    carry = jnp.zeros_like(a[0], dtype=jnp.int32)
+    for i in range(L):
+        v = (
+            a[i].astype(jnp.int32)
+            + int(spec.N[i])
+            - b[i].astype(jnp.int32)
+            + carry
+        )
+        out.append((v & 0xFFFF).astype(jnp.uint32))
+        carry = v >> 16  # arithmetic shift
+    return rows_carry_reduce(spec, out)
+
+
+def rows_mul_small(spec: FieldSpec, a, k: int):
+    if k == 3:
+        return rows_add(spec, rows_add(spec, a, a), a)
+    if k == 12:
+        t = rows_add(spec, rows_add(spec, a, a), a)
+        t = rows_add(spec, t, t)
+        return rows_add(spec, t, t)
+    raise ValueError(k)
+
+
+# --- Fq2 rows: 2L rows, c0 then c1 -----------------------------------------
+
+
+def rows2_mul(spec, a, b):
+    L = spec.L
+    a0, a1 = a[:L], a[L:]
+    b0, b1 = b[:L], b[L:]
+    v0 = rows_mont_mul(spec, a0, b0)
+    v1 = rows_mont_mul(spec, a1, b1)
+    s = rows_mont_mul(spec, rows_add(spec, a0, a1), rows_add(spec, b0, b1))
+    c0 = rows_sub(spec, v0, v1)
+    c1 = rows_sub(spec, rows_sub(spec, s, v0), v1)
+    return c0 + c1
+
+
+def rows2_add(spec, a, b):
+    L = spec.L
+    return rows_add(spec, a[:L], b[:L]) + rows_add(spec, a[L:], b[L:])
+
+
+def rows2_sub(spec, a, b):
+    L = spec.L
+    return rows_sub(spec, a[:L], b[:L]) + rows_sub(spec, a[L:], b[L:])
+
+
+def rows2_b3_mul(spec, a):
+    """* 12(1+u): scale by 12, then (c0 - c1) + (c0 + c1) u."""
+    L = spec.L
+    t0 = rows_mul_small(spec, a[:L], 12)
+    t1 = rows_mul_small(spec, a[L:], 12)
+    return rows_sub(spec, t0, t1) + rows_add(spec, t0, t1)
+
+
+# --- point addition (RCB'15 a=0, complete) on rows -------------------------
+
+
+def rows_point_add(mul, add, sub, b3_mul, p, q):
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = add(X1, Y1)
+    t4 = add(X2, Y2)
+    t3 = mul(t3, t4)
+    t4 = add(t0, t1)
+    t3 = sub(t3, t4)
+    t4 = add(Y1, Z1)
+    X3 = add(Y2, Z2)
+    t4 = mul(t4, X3)
+    X3 = add(t1, t2)
+    t4 = sub(t4, X3)
+    X3 = add(X1, Z1)
+    Y3 = add(X2, Z2)
+    X3 = mul(X3, Y3)
+    Y3 = add(t0, t2)
+    Y3 = sub(X3, Y3)
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)
+    t2 = b3_mul(t2)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = b3_mul(Y3)
+    X3 = mul(t4, Y3)
+    t2 = mul(t3, t1)
+    X3 = sub(t2, X3)
+    Y3 = mul(Y3, t0)
+    t1 = mul(t1, Z3)
+    Y3 = add(t1, Y3)
+    t0 = mul(t0, t3)
+    Z3 = mul(Z3, t4)
+    Z3 = add(Z3, t0)
+    return (X3, Y3, Z3)
+
+
+# --- kernels ---------------------------------------------------------------
+
+TB = 8  # sublane-group batch per program (TB*128 elements)
+
+
+def _read_rows(ref, L):
+    return [ref[:, i, :] for i in range(L)]
+
+
+def _write_rows(ref, rows):
+    for i, r in enumerate(rows):
+        ref[:, i, :] = r
+
+
+def _mont_mul_kernel(spec, a_ref, b_ref, o_ref):
+    a = _read_rows(a_ref, spec.L)
+    b = _read_rows(b_ref, spec.L)
+    _write_rows(o_ref, rows_mont_mul(spec, a, b))
+
+
+def _g1_add_kernel(spec, px, py, pz, qx, qy, qz, ox, oy, oz):
+    L = spec.L
+    mul = partial(rows_mont_mul, spec)
+    add = partial(rows_add, spec)
+    sub = partial(rows_sub, spec)
+    b3 = partial(rows_mul_small, spec, k=12)
+    p = tuple(_read_rows(r, L) for r in (px, py, pz))
+    q = tuple(_read_rows(r, L) for r in (qx, qy, qz))
+    X3, Y3, Z3 = rows_point_add(
+        mul, add, sub, lambda a: rows_mul_small(spec, a, 12), p, q
+    )
+    _write_rows(ox, X3)
+    _write_rows(oy, Y3)
+    _write_rows(oz, Z3)
+
+
+def _g2_add_kernel(spec, px, py, pz, qx, qy, qz, ox, oy, oz):
+    L2 = 2 * spec.L
+    p = tuple(_read_rows(r, L2) for r in (px, py, pz))
+    q = tuple(_read_rows(r, L2) for r in (qx, qy, qz))
+    X3, Y3, Z3 = rows_point_add(
+        partial(rows2_mul, spec),
+        partial(rows2_add, spec),
+        partial(rows2_sub, spec),
+        partial(rows2_b3_mul, spec),
+        p,
+        q,
+    )
+    _write_rows(ox, X3)
+    _write_rows(oy, Y3)
+    _write_rows(oz, Z3)
+
+
+# --- layout codecs ---------------------------------------------------------
+
+
+def to_kernel_layout(x):
+    """(B, L) or (B, 2, L) -> (B1, Lk, 128) with B padded to TB*128; returns
+    (array, B)."""
+    B = x.shape[0]
+    Lk = x.shape[1] * x.shape[2] if x.ndim == 3 else x.shape[1]
+    x = x.reshape(B, Lk)
+    pad = (-B) % (TB * LANE)
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    Bp = B + pad
+    # (Bp, Lk) -> (B1, 128, Lk) -> (B1, Lk, 128)
+    x = x.reshape(Bp // LANE, LANE, Lk)
+    return jnp.swapaxes(x, 1, 2), B
+
+
+def from_kernel_layout(x, B, coord_shape):
+    """(B1, Lk, 128) -> (B,) + coord_shape."""
+    B1, Lk, _ = x.shape
+    x = jnp.swapaxes(x, 1, 2).reshape(B1 * LANE, Lk)
+    x = x[:B]
+    return x.reshape((B,) + coord_shape)
+
+
+def _block_spec(Lk):
+    return pl.BlockSpec((TB, Lk, LANE), lambda i: (i, 0, 0))
+
+
+@lru_cache(maxsize=None)
+def _g_add_callable(kind: str):
+    """kind: 'g1' or 'g2'. Returns f(6 coord arrays in kernel layout) -> 3."""
+    spec = FQ
+    Lk = spec.L if kind == "g1" else 2 * spec.L
+    kernel = _g1_add_kernel if kind == "g1" else _g2_add_kernel
+
+    def run(px, py, pz, qx, qy, qz):
+        B1 = px.shape[0]
+        grid = (B1 // TB,)
+        return pl.pallas_call(
+            partial(kernel, spec),
+            out_shape=[jax.ShapeDtypeStruct(px.shape, jnp.uint32)] * 3,
+            grid=grid,
+            in_specs=[_block_spec(Lk)] * 6,
+            out_specs=[_block_spec(Lk)] * 3,
+            interpret=_interpret(),
+        )(px, py, pz, qx, qy, qz)
+
+    return run
+
+
+def pallas_point_add(fops_kind: str, p, q, coord_shape):
+    """p, q: tuples of (B,)+coord_shape arrays. Returns same-layout sum."""
+    enc = [to_kernel_layout(c)[0] for c in (*p, *q)]
+    B = p[0].shape[0]
+    ox, oy, oz = _g_add_callable(fops_kind)(*enc)
+    return tuple(from_kernel_layout(o, B, coord_shape) for o in (ox, oy, oz))
+
+
+@lru_cache(maxsize=None)
+def _mont_mul_callable(spec_name: str):
+    spec = FR if spec_name == "Fr" else FQ
+
+    def run(a, b):
+        B1 = a.shape[0]
+        grid = (B1 // TB,)
+        return pl.pallas_call(
+            partial(_mont_mul_kernel, spec),
+            out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
+            grid=grid,
+            in_specs=[_block_spec(spec.L)] * 2,
+            out_specs=_block_spec(spec.L),
+            interpret=_interpret(),
+        )(a, b)
+
+    return run
+
+
+def pallas_mont_mul(spec: FieldSpec, a, b):
+    """Drop-in for F.mont_mul on (B, L) arrays (1-D batch)."""
+    shape = a.shape[:-1]
+    a2 = a.reshape(-1, spec.L)
+    b2 = jnp.broadcast_to(b, a.shape).reshape(-1, spec.L)
+    ak, B = to_kernel_layout(a2)
+    bk, _ = to_kernel_layout(b2)
+    out = _mont_mul_callable(spec.name)(ak, bk)
+    return from_kernel_layout(out, B, (spec.L,)).reshape(shape + (spec.L,))
+
+
+__all__ = [
+    "pallas_mont_mul", "pallas_point_add", "to_kernel_layout",
+    "from_kernel_layout", "rows_mont_mul", "rows_add", "rows_sub",
+]

@@ -113,6 +113,12 @@ def _carry_reduce(spec: FieldSpec, t):
 
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product: a*b*R^{-1} mod N. a, b: (..., L) uint32 limbs."""
+    if _IMPL == "compact":
+        return _mont_mul_compact(spec, a, b)
+    if _IMPL == "pallas":
+        from masp_tpu.kernels.field_kernels import pallas_mont_mul
+
+        return pallas_mont_mul(spec, a, b)
     L = spec.L
     n0inv = jnp.uint32(spec.n0inv)
     N = spec.N_jax
@@ -138,10 +144,14 @@ def mont_sqr(spec: FieldSpec, a):
 
 
 def add(spec: FieldSpec, a, b):
+    if _IMPL == "compact":
+        return _carry_reduce_compact(spec, a + b)
     return _carry_reduce(spec, a + b)  # limbs < 2^17
 
 
 def sub(spec: FieldSpec, a, b):
+    if _IMPL == "compact":
+        return _sub_compact(spec, a, b)
     # a + N - b in [1, 2N): per-limb signed diff with carry in {-1, 0, 1}
     L = spec.L
     limbs = []
@@ -260,8 +270,102 @@ def decode(spec: FieldSpec, arr, mont: bool = True) -> list[int]:
     return vals
 
 
+
+
+# ---------------------------------------------------------------------------
+# Compact (scan-based) implementations: ~30 ops per mul instead of ~600, for
+# places where XLA compile time matters more than runtime (CPU tests, the
+# multi-chip dry-run). Selected via set_impl("compact").
+
+_IMPL = "unrolled"
+
+
+def set_impl(name: str):
+    """"unrolled" (default, fastest runtime) or "compact" (smallest graphs)."""
+    global _IMPL
+    assert name in ("unrolled", "compact", "pallas")
+    _IMPL = name
+
+
+def get_impl() -> str:
+    return _IMPL
+
+
+def _carry_reduce_compact(spec: FieldSpec, t):
+    """Scan-based carry propagation + conditional subtract; t: (..., L)."""
+    L = spec.L
+    tm = jnp.moveaxis(t, -1, 0)  # (L, ...)
+
+    def carry_body(c, ti):
+        v = ti + c
+        return v >> LIMB_BITS, v & LIMB_MASK
+
+    c, limbs = jax.lax.scan(carry_body, jnp.zeros_like(tm[0]), tm)
+    Nm = jnp.moveaxis(
+        jnp.broadcast_to(spec.N_jax, limbs.shape[1:] + (L,)), -1, 0
+    ).astype(jnp.int32)
+
+    def sub_body(borrow, xs):
+        li, ni = xs
+        v = li.astype(jnp.int32) - ni - borrow
+        return (v < 0).astype(jnp.int32), (v & LIMB_MASK).astype(U32)
+
+    borrow, diff = jax.lax.scan(
+        sub_body, jnp.zeros_like(c, dtype=jnp.int32), (limbs, Nm)
+    )
+    ge = jnp.logical_or(c > 0, borrow == 0)
+    out = jnp.where(ge[None], diff, limbs)
+    return jnp.moveaxis(out, 0, -1)
+
+
+def _mont_mul_compact(spec: FieldSpec, a, b):
+    L = spec.L
+    n0inv = jnp.uint32(spec.n0inv)
+    N = spec.N_jax
+    t = _wide_product_cols(L, a, b)  # (..., 2L+1)
+    W = 2 * L + 1
+
+    def cios_body(_k, t):
+        m = (t[..., 0] * n0inv) & LIMB_MASK
+        mn = m[..., None] * N  # (..., L)
+        mlo = mn & LIMB_MASK
+        mhi = mn >> LIMB_BITS
+        pad_cfg_lo = [(0, 0)] * (t.ndim - 1) + [(0, W - L)]
+        pad_cfg_hi = [(0, 0)] * (t.ndim - 1) + [(1, W - L - 1)]
+        t = t + jnp.pad(mlo, pad_cfg_lo) + jnp.pad(mhi, pad_cfg_hi)
+        t = t.at[..., 1].add(t[..., 0] >> LIMB_BITS)
+        t = jnp.roll(t, -1, axis=-1)
+        t = t.at[..., -1].set(0)
+        return t
+
+    t = jax.lax.fori_loop(0, L, cios_body, t)
+    return _carry_reduce_compact(spec, t[..., :L])
+
+
+def _sub_compact(spec: FieldSpec, a, b):
+    L = spec.L
+    am = jnp.moveaxis(a, -1, 0).astype(jnp.int32)
+    bm = jnp.moveaxis(b, -1, 0).astype(jnp.int32)
+    Nm = jnp.moveaxis(
+        jnp.broadcast_to(spec.N_jax, am.shape[1:] + (L,)), -1, 0
+    ).astype(jnp.int32)
+
+    def body(carry, xs):
+        ai, bi, ni = xs
+        v = ai + ni - bi + carry
+        return v >> LIMB_BITS, (v & LIMB_MASK).astype(U32)
+
+    bshape = jnp.broadcast_shapes(am.shape[1:], bm.shape[1:])
+    am = jnp.broadcast_to(am, (L,) + bshape)
+    bm = jnp.broadcast_to(bm, (L,) + bshape)
+    _c, limbs = jax.lax.scan(
+        body, jnp.zeros(bshape, dtype=jnp.int32), (am, bm, Nm)
+    )
+    return _carry_reduce_compact(spec, jnp.moveaxis(limbs, 0, -1))
+
+
 __all__ = [
     "FieldSpec", "FR", "FQ", "mont_mul", "mont_sqr", "add", "sub", "neg",
     "select", "is_zero", "mont_pow_fixed", "mont_inv", "batch_mont_inv",
-    "to_mont", "from_mont", "encode", "decode",
+    "to_mont", "from_mont", "encode", "decode", "set_impl", "get_impl",
 ]

@@ -227,6 +227,25 @@ class G2Ops(Fq2Ops):
 
 
 def g_add(fops, p, q):
+    from masp_tpu.ops import field_jax as _F
+
+    if _F.get_impl() == "pallas" and fops in (G1Ops, G2Ops):
+        from masp_tpu.kernels.field_kernels import pallas_point_add
+
+        kind = "g1" if fops is G1Ops else "g2"
+        cshape = fops.coord_shape
+        nb = len(cshape)
+        shapes = [c.shape[:-nb] for c in (*p, *q)]
+        batch_shape = shapes[0]
+        for sh in shapes:
+            batch_shape = jnp.broadcast_shapes(batch_shape, sh)
+
+        def flat(c):
+            c = jnp.broadcast_to(c, batch_shape + cshape)
+            return c.reshape((-1,) + cshape)
+
+        out = pallas_point_add(kind, tuple(map(flat, p)), tuple(map(flat, q)), cshape)
+        return tuple(o.reshape(batch_shape + cshape) for o in out)
     return point_add(fops, p, q)
 
 

@@ -18,3 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from masp_tpu.ops import field_jax as _F  # noqa: E402
+
+# CPU XLA chokes on the unrolled limb graphs; tests use the compact
+# (scan-based) implementation. TPU benches use "pallas"/"unrolled".
+_F.set_impl("compact")
