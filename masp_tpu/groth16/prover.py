@@ -119,13 +119,16 @@ def _digits_padded(scalars, n_padded):
 
 def prepare_device_params(params: Parameters) -> None:
     """Encode all proving queries once onto the device (cached in
-    params.device)."""
+    params.device). All G1 queries pad to ONE shared size so a single
+    compiled MSM program serves h/l/a/b_g1."""
     if "h" in params.device:
         return
-    params.device["h"] = _encode_g1_padded(params.h, MSM_LANES_G1)
-    params.device["l"] = _encode_g1_padded(params.l, MSM_LANES_G1)
-    params.device["a"] = _encode_g1_padded(params.a, MSM_LANES_G1)
-    params.device["b_g1"] = _encode_g1_padded(params.b_g1, MSM_LANES_G1)
+    n_max = max(len(params.h), len(params.l), len(params.a), len(params.b_g1))
+    n_pad = _pad_to(n_max, MSM_LANES_G1)
+    params.device["n_g1"] = n_pad
+    for name, pts in (("h", params.h), ("l", params.l), ("a", params.a), ("b_g1", params.b_g1)):
+        pts = list(pts) + [G1.identity()] * (n_pad - len(pts))
+        params.device[name] = tuple(jnp.asarray(x) for x in W.encode_g1_points(pts))
     params.device["b_g2"] = _encode_g2_padded(params.b_g2, MSM_LANES_G2)
 
 

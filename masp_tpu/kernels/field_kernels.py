@@ -195,12 +195,13 @@ TB = 8  # sublane-group batch per program (TB*128 elements)
 
 
 def _read_rows(ref, L):
-    return [ref[:, i, :] for i in range(L)]
+    # layout (L, TB, 128): indexing the major axis keeps (TB, 128) tiles
+    return [ref[i] for i in range(L)]
 
 
 def _write_rows(ref, rows):
     for i, r in enumerate(rows):
-        ref[:, i, :] = r
+        ref[i] = r
 
 
 def _mont_mul_kernel(spec, a_ref, b_ref, o_ref):
@@ -255,21 +256,21 @@ def to_kernel_layout(x):
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     Bp = B + pad
-    # (Bp, Lk) -> (B1, 128, Lk) -> (B1, Lk, 128)
-    x = x.reshape(Bp // LANE, LANE, Lk)
-    return jnp.swapaxes(x, 1, 2), B
+    # (Bp, Lk) -> (Lk, Bp) -> (Lk, B1, 128): limb-major so kernels index
+    # whole (TB, 128) tiles per limb
+    x = jnp.swapaxes(x, 0, 1).reshape(Lk, Bp // LANE, LANE)
+    return x, B
 
 
 def from_kernel_layout(x, B, coord_shape):
-    """(B1, Lk, 128) -> (B,) + coord_shape."""
-    B1, Lk, _ = x.shape
-    x = jnp.swapaxes(x, 1, 2).reshape(B1 * LANE, Lk)
-    x = x[:B]
+    """(Lk, B1, 128) -> (B,) + coord_shape."""
+    Lk, B1, _ = x.shape
+    x = jnp.swapaxes(x.reshape(Lk, B1 * LANE), 0, 1)[:B]
     return x.reshape((B,) + coord_shape)
 
 
 def _block_spec(Lk):
-    return pl.BlockSpec((TB, Lk, LANE), lambda i: (i, 0, 0))
+    return pl.BlockSpec((Lk, TB, LANE), lambda i: (0, i, 0))
 
 
 @lru_cache(maxsize=None)
@@ -280,7 +281,7 @@ def _g_add_callable(kind: str):
     kernel = _g1_add_kernel if kind == "g1" else _g2_add_kernel
 
     def run(px, py, pz, qx, qy, qz):
-        B1 = px.shape[0]
+        B1 = px.shape[1]
         grid = (B1 // TB,)
         return pl.pallas_call(
             partial(kernel, spec),
@@ -307,7 +308,7 @@ def _mont_mul_callable(spec_name: str):
     spec = FR if spec_name == "Fr" else FQ
 
     def run(a, b):
-        B1 = a.shape[0]
+        B1 = a.shape[1]
         grid = (B1 // TB,)
         return pl.pallas_call(
             partial(_mont_mul_kernel, spec),
