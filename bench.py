@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Driver benchmark: Spend-circuit Groth16 proving throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Matches the reference's bench workload (masp_proofs/benches/sapling.rs:18-93):
+freshly generated random parameters for the Spend circuit, 32-deep Merkle
+witness, full prove. Parameters and XLA compilations are cached on disk, so
+the first invocation pays one-time generation/compile cost and subsequent
+runs measure steady-state proving.
+
+vs_baseline: the reference publishes no absolute numbers (BASELINE.md); we
+compare against a documented assumption of 2.0 s/proof for the reference's
+rayon-parallel CPU prover on a contemporary server CPU (criterion harness
+exists but numbers are unpublished; see BASELINE.md).
+
+Env:
+  MASP_BENCH_CIRCUIT=spend|output   (default spend)
+  MASP_BENCH_ITERS=N                (default 2)
+"""
+
+import json
+import os
+import sys
+import time
+
+REF_SPEND_SECONDS = 2.0  # documented assumption; see module docstring
+REF_OUTPUT_SECONDS = 0.6
+
+
+def main():
+    import jax
+
+    from masp_tpu.ops import field_jax as F
+
+    on_tpu = jax.default_backend() == "tpu"
+    F.set_impl("pallas" if on_tpu else "compact")
+
+    from masp_tpu.circuits.sapling import Output, Spend
+    from masp_tpu.groth16.params_io import cached_test_params
+    from masp_tpu.groth16.prover import (
+        create_proof_from_assembly, prepare_device_params, synthesize_witness,
+    )
+    from masp_tpu.groth16.structures import prepare_verifying_key
+    from masp_tpu.groth16.verifier import verify_proof
+    from masp_tpu.utils.rng import XorShiftRng
+
+    circuit_kind = os.environ.get("MASP_BENCH_CIRCUIT", "spend")
+    iters = int(os.environ.get("MASP_BENCH_ITERS", "2"))
+    rng = XorShiftRng.from_seed(bytes(range(16)))
+
+    if circuit_kind == "spend":
+        make_circuit, public_inputs = _spend_fixture(rng)
+        params = cached_test_params("spend-test", Spend, rng)
+        ref_seconds = REF_SPEND_SECONDS
+    else:
+        make_circuit, public_inputs = _output_fixture(rng)
+        params = cached_test_params("output-test", Output, rng)
+        ref_seconds = REF_OUTPUT_SECONDS
+
+    pvk = prepare_verifying_key(params.vk)
+    prepare_device_params(params)
+
+    # warmup (compiles; persisted in the XLA compilation cache)
+    cs = synthesize_witness(make_circuit())
+    proof = create_proof_from_assembly(cs, params, 11, 22)
+    assert verify_proof(pvk, proof, public_inputs), "benchmark proof failed to verify"
+
+    t0 = time.time()
+    for i in range(iters):
+        cs = synthesize_witness(make_circuit())
+        proof = create_proof_from_assembly(cs, params, 100 + i, 200 + i)
+    dt = (time.time() - t0) / iters
+    assert verify_proof(pvk, proof, public_inputs)
+
+    throughput = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"{circuit_kind}-circuit Groth16 proofs/sec/chip",
+                "value": round(throughput, 4),
+                "unit": "proofs/s",
+                "vs_baseline": round(throughput * ref_seconds, 3),
+            }
+        )
+    )
+
+
+def _spend_fixture(rng):
+    from masp_tpu.circuits.sapling import Spend
+    from masp_tpu.fields import Scalar
+    from masp_tpu.groth16.sapling_prover import spend_public_inputs
+    from masp_tpu.primitives.asset_type import AssetType
+    from masp_tpu.primitives.keys import ExpandedSpendingKey
+    from masp_tpu.primitives.sapling import Diversifier, Note, Rseed, merkle_hash
+    from masp_tpu.utils.rng import random_jubjub_fr
+
+    asset_type = AssetType.new(b"default")
+    value = 1234567
+    rcv = random_jubjub_fr(rng)
+    value_commitment = asset_type.value_commitment(value, rcv)
+    expsk = ExpandedSpendingKey.from_spending_key(b"\x42" * 32)
+    pgk = expsk.proof_generation_key()
+    vk = pgk.to_viewing_key()
+    d = 0
+    while True:
+        div = Diversifier(d.to_bytes(11, "little"))
+        addr = vk.to_payment_address(div)
+        if addr is not None:
+            break
+        d += 1
+    rcm = random_jubjub_fr(rng)
+    ar = random_jubjub_fr(rng)
+    auth_path = [
+        (Scalar.from_bytes_wide(rng.fill_bytes(64)).n, rng.next_u32() % 2 != 0)
+        for _ in range(32)
+    ]
+    note = Note(asset_type=asset_type, value=value, g_d=addr.g_d(),
+                pk_d=addr.pk_d, rseed=Rseed.before_zip212(rcm))
+    cur = note.cmu().n
+    position = 0
+    for i, (sibling, is_right) in enumerate(auth_path):
+        if is_right:
+            position |= 1 << i
+            lhs, rhs = sibling, cur
+        else:
+            lhs, rhs = cur, sibling
+        cur = int.from_bytes(
+            merkle_hash(i, lhs.to_bytes(32, "little"), rhs.to_bytes(32, "little")),
+            "little",
+        )
+    anchor = cur
+    nf = note.nf(vk.nk, position)
+    rk = vk.rk(ar)
+
+    def make():
+        return Spend(
+            value_commitment=value_commitment,
+            proof_generation_key=pgk,
+            payment_address=addr,
+            commitment_randomness=rcm,
+            ar=ar,
+            auth_path=list(auth_path),
+            anchor=anchor,
+        )
+
+    inputs = spend_public_inputs(rk, value_commitment.commitment(), anchor, nf)
+    return make, inputs
+
+
+def _output_fixture(rng):
+    from masp_tpu.circuits.sapling import Output
+    from masp_tpu.groth16.sapling_prover import output_public_inputs
+    from masp_tpu.primitives.asset_type import AssetType
+    from masp_tpu.primitives.keys import ExpandedSpendingKey
+    from masp_tpu.primitives.sapling import Diversifier, Note, Rseed
+    from masp_tpu.utils.rng import random_jubjub_fr
+
+    asset_type = AssetType.new(b"default")
+    vc = asset_type.value_commitment(12345, random_jubjub_fr(rng))
+    expsk = ExpandedSpendingKey.from_spending_key(b"\x44" * 32)
+    vk = expsk.proof_generation_key().to_viewing_key()
+    d = 0
+    while True:
+        div = Diversifier(d.to_bytes(11, "little"))
+        addr = vk.to_payment_address(div)
+        if addr is not None:
+            break
+        d += 1
+    esk = random_jubjub_fr(rng)
+    rcm = random_jubjub_fr(rng)
+
+    def make():
+        return Output(
+            value_commitment=vc,
+            asset_identifier=list(asset_type.identifier_bits()),
+            payment_address=addr,
+            commitment_randomness=rcm,
+            esk=esk,
+        )
+
+    note = addr.create_note(asset_type, 12345, Rseed.before_zip212(rcm))
+    inputs = output_public_inputs(vc.commitment(), addr.g_d() * esk, note.cmu().n)
+    return make, inputs
+
+
+if __name__ == "__main__":
+    sys.exit(main())
