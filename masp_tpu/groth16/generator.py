@@ -144,16 +144,16 @@ _fb_g2 = jax.jit(
 
 
 def batch_g1_mul_gen(scalars: list[int], chunk: int = 1 << 16):
-    """[s_i] G1_generator for many scalars, on TPU. Returns host G1 list."""
+    """[s_i] G1_generator for many scalars, on TPU. Returns host G1 list.
+    Every chunk pads to the full chunk size: one compiled program total."""
     out = []
     table = _g1_table()
     for off in range(0, len(scalars), chunk):
         part = scalars[off : off + chunk]
         n = len(part)
-        pad = (-n) % 256 if n % 256 else 0
-        digits = jnp.asarray(M.scalars_to_digits(part + [0] * pad, 8, 256))
+        digits = jnp.asarray(M.scalars_to_digits(part + [0] * (chunk - n), 8, 256))
         ax, ay = _fb_g1(table, digits)
-        out.extend(_decode_affine_g1(ax, ay)[:n])
+        out.extend(_decode_affine_g1(ax[:n], ay[:n]))
     return out
 
 
@@ -163,10 +163,9 @@ def batch_g2_mul_gen(scalars: list[int], chunk: int = 1 << 14):
     for off in range(0, len(scalars), chunk):
         part = scalars[off : off + chunk]
         n = len(part)
-        pad = (-n) % 256 if n % 256 else 0
-        digits = jnp.asarray(M.scalars_to_digits(part + [0] * pad, 8, 256))
+        digits = jnp.asarray(M.scalars_to_digits(part + [0] * (chunk - n), 8, 256))
         ax, ay = _fb_g2(table, digits)
-        out.extend(_decode_affine_g2(ax, ay)[:n])
+        out.extend(_decode_affine_g2(ax[:n], ay[:n]))
     return out
 
 
