@@ -38,12 +38,85 @@ def _eval_lc_rows(rows, inputs, aux):
     return out
 
 
+def _ints_to_u64x4(vals):
+    buf = b"".join(int(v).to_bytes(32, "little") for v in vals)
+    return np.frombuffer(buf, dtype=np.uint64).reshape(len(vals), 4).copy()
+
+
+def _u64x4_to_limbs16(arr):
+    """(N, 4) u64 -> (N, 16) uint32 16-bit limbs (vectorized)."""
+    n = arr.shape[0]
+    out = np.empty((n, 16), dtype=np.uint32)
+    for j in range(16):
+        out[:, j] = ((arr[:, j // 4] >> np.uint64(16 * (j % 4))) & np.uint64(0xFFFF)).astype(
+            np.uint32
+        )
+    return out
+
+
+def _csr_for(cs):
+    """CSR structure of the concatenated a|b|c rows; cached per circuit shape
+    (the structure is deterministic for a fixed circuit)."""
+    key = ("csr", cs.num_constraints, cs.num_inputs, cs.num_aux)
+    csr = _JIT_CACHE.get(key)
+    if csr is not None:
+        return csr
+    n_inputs = cs.num_inputs
+    indptr = [0]
+    var_idx = []
+    coeffs = []
+    for rows in (cs.a_rows, cs.b_rows, cs.c_rows):
+        for row in rows:
+            for v, c in row:
+                var_idx.append((v // 2) if v % 2 == 0 else n_inputs + v // 2)
+                coeffs.append(c)
+            indptr.append(len(var_idx))
+    csr = (
+        np.asarray(indptr, dtype=np.int64),
+        np.asarray(var_idx, dtype=np.int64),
+        _ints_to_u64x4(coeffs),
+    )
+    _JIT_CACHE[key] = csr
+    return csr
+
+
+def _compute_abc_limbs(cs, m):
+    """Canonical (non-Montgomery) 16-bit-limb arrays (m, L) of the
+    per-constraint a/b/c evaluations; native C++ path when available."""
+    from masp_tpu import native
+
+    n = cs.num_constraints
+    if native.available():
+        indptr, var_idx, coeffs = _csr_for(cs)
+        assignment = _ints_to_u64x4(cs.input_assignment + cs.aux_assignment)
+        vals = native.eval_lc_rows_native(indptr, var_idx, coeffs, assignment)
+        limbs = _u64x4_to_limbs16(vals)  # (3n, 16)
+        out = []
+        for k in range(3):
+            part = np.zeros((m, FR.L), dtype=np.uint32)
+            part[:n] = limbs[k * n : (k + 1) * n]
+            out.append(jnp.asarray(part))
+        return out
+    a_vals = _eval_lc_rows(cs.a_rows, cs.input_assignment, cs.aux_assignment)
+    b_vals = _eval_lc_rows(cs.b_rows, cs.input_assignment, cs.aux_assignment)
+    c_vals = _eval_lc_rows(cs.c_rows, cs.input_assignment, cs.aux_assignment)
+    pad = m - n
+    return [
+        jnp.asarray(F.encode(FR, vals + [0] * pad, mont=False))
+        for vals in (a_vals, b_vals, c_vals)
+    ]
+
+
 def _compute_h_coeffs(dom: Domain, a_vals, b_vals, c_vals):
     """Device: h(x) coefficients from per-constraint evaluations.
 
     a_vals/b_vals/c_vals: (m, L) Montgomery limb arrays (zero-padded)."""
 
     def pipeline(a, b, c):
+        # inputs are canonical limbs; convert to Montgomery on device
+        a = F.to_mont(FR, a)
+        b = F.to_mont(FR, b)
+        c = F.to_mont(FR, c)
         a = dom.coset_fft(dom.ifft(a))
         b = dom.coset_fft(dom.ifft(b))
         c = dom.coset_fft(dom.ifft(c))
@@ -153,14 +226,9 @@ def create_proof_from_assembly(cs, params: Parameters, r: int, s: int) -> Proof:
     m = 1 << (cs.num_constraints - 1).bit_length()
     dom = Domain(m)
 
-    # per-constraint evaluations, padded to m
-    a_vals = _eval_lc_rows(cs.a_rows, inputs, aux)
-    b_vals = _eval_lc_rows(cs.b_rows, inputs, aux)
-    c_vals = _eval_lc_rows(cs.c_rows, inputs, aux)
-    pad = m - len(a_vals)
-    az = jnp.asarray(F.encode(FR, a_vals + [0] * pad))
-    bz = jnp.asarray(F.encode(FR, b_vals + [0] * pad))
-    cz = jnp.asarray(F.encode(FR, c_vals + [0] * pad))
+    # per-constraint evaluations, padded to m (canonical limbs; Montgomery
+    # conversion happens on device in the h pipeline)
+    az, bz, cz = _compute_abc_limbs(cs, m)
 
     h_coeffs = _compute_h_coeffs(dom, az, bz, cz)  # (m, L) Montgomery
     # bellman truncates the last coefficient (degree <= m-2)

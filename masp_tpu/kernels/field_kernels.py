@@ -246,13 +246,13 @@ def _g2_add_kernel(spec, px, py, pz, qx, qy, qz, ox, oy, oz):
 # --- layout codecs ---------------------------------------------------------
 
 
-def to_kernel_layout(x):
-    """(B, L) or (B, 2, L) -> (B1, Lk, 128) with B padded to TB*128; returns
+def to_kernel_layout(x, tb: int = TB):
+    """(B, L) or (B, 2, L) -> (Lk, B1, 128) with B padded to tb*128; returns
     (array, B)."""
     B = x.shape[0]
     Lk = x.shape[1] * x.shape[2] if x.ndim == 3 else x.shape[1]
     x = x.reshape(B, Lk)
-    pad = (-B) % (TB * LANE)
+    pad = (-B) % (tb * LANE)
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     Bp = B + pad
@@ -269,12 +269,12 @@ def from_kernel_layout(x, B, coord_shape):
     return x.reshape((B,) + coord_shape)
 
 
-def _block_spec(Lk):
-    return pl.BlockSpec((Lk, TB, LANE), lambda i: (0, i, 0))
+def _block_spec(Lk, tb):
+    return pl.BlockSpec((Lk, tb, LANE), lambda i: (0, i, 0))
 
 
 @lru_cache(maxsize=None)
-def _g_add_callable(kind: str):
+def _g_add_callable(kind: str, tb: int):
     """kind: 'g1' or 'g2'. Returns f(6 coord arrays in kernel layout) -> 3."""
     spec = FQ
     Lk = spec.L if kind == "g1" else 2 * spec.L
@@ -282,13 +282,13 @@ def _g_add_callable(kind: str):
 
     def run(px, py, pz, qx, qy, qz):
         B1 = px.shape[1]
-        grid = (B1 // TB,)
+        grid = (B1 // tb,)
         return pl.pallas_call(
             partial(kernel, spec),
             out_shape=[jax.ShapeDtypeStruct(px.shape, jnp.uint32)] * 3,
             grid=grid,
-            in_specs=[_block_spec(Lk)] * 6,
-            out_specs=[_block_spec(Lk)] * 3,
+            in_specs=[_block_spec(Lk, tb)] * 6,
+            out_specs=[_block_spec(Lk, tb)] * 3,
             interpret=_interpret(),
         )(px, py, pz, qx, qy, qz)
 
@@ -297,25 +297,26 @@ def _g_add_callable(kind: str):
 
 def pallas_point_add(fops_kind: str, p, q, coord_shape):
     """p, q: tuples of (B,)+coord_shape arrays. Returns same-layout sum."""
-    enc = [to_kernel_layout(c)[0] for c in (*p, *q)]
     B = p[0].shape[0]
-    ox, oy, oz = _g_add_callable(fops_kind)(*enc)
+    tb = TB if B >= TB * LANE else 1  # small batches: 8x less padding
+    enc = [to_kernel_layout(c, tb)[0] for c in (*p, *q)]
+    ox, oy, oz = _g_add_callable(fops_kind, tb)(*enc)
     return tuple(from_kernel_layout(o, B, coord_shape) for o in (ox, oy, oz))
 
 
 @lru_cache(maxsize=None)
-def _mont_mul_callable(spec_name: str):
+def _mont_mul_callable(spec_name: str, tb: int):
     spec = FR if spec_name == "Fr" else FQ
 
     def run(a, b):
         B1 = a.shape[1]
-        grid = (B1 // TB,)
+        grid = (B1 // tb,)
         return pl.pallas_call(
             partial(_mont_mul_kernel, spec),
             out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
             grid=grid,
-            in_specs=[_block_spec(spec.L)] * 2,
-            out_specs=_block_spec(spec.L),
+            in_specs=[_block_spec(spec.L, tb)] * 2,
+            out_specs=_block_spec(spec.L, tb),
             interpret=_interpret(),
         )(a, b)
 
@@ -327,9 +328,10 @@ def pallas_mont_mul(spec: FieldSpec, a, b):
     shape = a.shape[:-1]
     a2 = a.reshape(-1, spec.L)
     b2 = jnp.broadcast_to(b, a.shape).reshape(-1, spec.L)
-    ak, B = to_kernel_layout(a2)
-    bk, _ = to_kernel_layout(b2)
-    out = _mont_mul_callable(spec.name)(ak, bk)
+    tb = TB if a2.shape[0] >= TB * LANE else 1
+    ak, B = to_kernel_layout(a2, tb)
+    bk, _ = to_kernel_layout(b2, tb)
+    out = _mont_mul_callable(spec.name, tb)(ak, bk)
     return from_kernel_layout(out, B, (spec.L,)).reshape(shape + (spec.L,))
 
 
