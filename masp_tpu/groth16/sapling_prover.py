@@ -8,6 +8,8 @@ single and batch verification.
 
 from __future__ import annotations
 
+import logging
+
 from dataclasses import dataclass, field
 
 from masp_tpu.circuits.convert import Convert
@@ -344,10 +346,12 @@ class BatchValidator:
         if spend_sigs and not redjubjub.batch_verify(
             rng, spend_sigs, spending_key_generator()
         ):
+            _log.debug("batch validation failed spend-auth signature check")
             return False
         if binding_sigs and not redjubjub.batch_verify(
             rng, binding_sigs, value_commitment_randomness_generator()
         ):
+            _log.debug("batch validation failed binding signature check")
             return False
         for batch, vk in (
             (self.spend_proofs, spend_vk),
@@ -357,8 +361,12 @@ class BatchValidator:
             if batch.proofs and not verify_proofs_batch(
                 vk, rng, batch.proofs, batch.inputs
             ):
+                _log.debug("batch validation failed Groth16 proof batch")
                 return False
         return True
+
+
+_log = logging.getLogger(__name__)
 
 
 def _is_spend_auth(entry: redjubjub.BatchEntry) -> bool:

@@ -208,6 +208,37 @@ class Bundle:
     def is_empty(self) -> bool:
         return not (self.shielded_spends or self.shielded_converts or self.shielded_outputs)
 
+    def map_authorization(self, map_proof, map_auth_sig, map_auth) -> "Bundle":
+        """MapAuth machinery (components/sapling.rs:61-157): rebuild the
+        bundle with transformed proofs/signatures/authorization."""
+        return Bundle(
+            shielded_spends=[
+                SpendDescription(
+                    cv=d.cv, anchor=d.anchor, nullifier=d.nullifier, rk=d.rk,
+                    zkproof=map_proof(d.zkproof, pos),
+                    spend_auth_sig=map_auth_sig(d.spend_auth_sig, pos),
+                )
+                for pos, d in enumerate(self.shielded_spends)
+            ],
+            shielded_converts=[
+                ConvertDescription(
+                    cv=c.cv, anchor=c.anchor, zkproof=map_proof(c.zkproof, pos)
+                )
+                for pos, c in enumerate(self.shielded_converts)
+            ],
+            shielded_outputs=[
+                OutputDescription(
+                    cv=o.cv, cmu=o.cmu, ephemeral_key=o.ephemeral_key,
+                    enc_ciphertext=o.enc_ciphertext,
+                    out_ciphertext=o.out_ciphertext,
+                    zkproof=map_proof(o.zkproof, pos),
+                )
+                for pos, o in enumerate(self.shielded_outputs)
+            ],
+            value_balance=self.value_balance,
+            authorization=map_auth(self.authorization),
+        )
+
     def __eq__(self, other):
         return (
             isinstance(other, Bundle)
