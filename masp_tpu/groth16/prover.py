@@ -23,8 +23,10 @@ from masp_tpu.r1cs.cs import ProvingAssembly
 from masp_tpu.utils.rng import random_scalar
 
 MSM_C = 8
-MSM_LANES_G1 = 64
-MSM_LANES_G2 = 32
+# lanes: more lanes = fewer sequential main-loop steps (bucket state grows
+# linearly; G1 @256 lanes = ~600MB, fine in 16GB HBM)
+MSM_LANES_G1 = 256
+MSM_LANES_G2 = 128
 
 
 def _eval_lc_rows(rows, inputs, aux):

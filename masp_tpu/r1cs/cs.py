@@ -246,9 +246,11 @@ class ProvingAssembly(ConstraintSystem):
         self.input_assignment.append(value)
 
     def _on_enforce(self, name, a, b, c):
-        self.a_rows.append(a.sorted_terms())
-        self.b_rows.append(b.sorted_terms())
-        self.c_rows.append(c.sorted_terms())
+        # insertion order suffices: row evaluation and tau-evaluation are
+        # order-independent (sorted order only matters for the test CS hash)
+        self.a_rows.append(list(a.terms.items()))
+        self.b_rows.append(list(b.terms.items()))
+        self.c_rows.append(list(c.terms.items()))
 
 
 class KeypairAssembly(ConstraintSystem):
@@ -271,9 +273,9 @@ class KeypairAssembly(ConstraintSystem):
         pass
 
     def _on_enforce(self, name, a, b, c):
-        self.a_rows.append(a.sorted_terms())
-        self.b_rows.append(b.sorted_terms())
-        self.c_rows.append(c.sorted_terms())
+        self.a_rows.append(list(a.terms.items()))
+        self.b_rows.append(list(b.terms.items()))
+        self.c_rows.append(list(c.terms.items()))
 
 
 class TestConstraintSystem(ConstraintSystem):
