@@ -23,10 +23,11 @@ from masp_tpu.r1cs.cs import ProvingAssembly
 from masp_tpu.utils.rng import random_scalar
 
 MSM_C = 8
-# lanes: more lanes = fewer sequential main-loop steps (bucket state grows
-# linearly; G1 @256 lanes = ~600MB, fine in 16GB HBM)
-MSM_LANES_G1 = 256
-MSM_LANES_G2 = 128
+# lanes tuned empirically on v5e: 256 lanes cuts main-loop steps but the
+# sequential lane-combine then dominates (Output got 30% slower); 64 is
+# the round-1 sweet spot.
+MSM_LANES_G1 = 64
+MSM_LANES_G2 = 32
 
 
 def _eval_lc_rows(rows, inputs, aux):
@@ -245,8 +246,13 @@ def create_proof_from_assembly(cs, params: Parameters, r: int, s: int) -> Proof:
 
     h_answer = _msm_g1(params.device["h"], h_digits, m - 1)
 
-    # density-filtered exponent vectors
-    a_density, b_density = _densities(cs)
+    # density-filtered exponent vectors (structure static per circuit: cache)
+    dkey = ("density", cs.num_constraints, cs.num_inputs, cs.num_aux)
+    dens = _JIT_CACHE.get(dkey)
+    if dens is None:
+        dens = _densities(cs)
+        _JIT_CACHE[dkey] = dens
+    a_density, b_density = dens
     full_assignment = inputs + aux
     a_exps = [full_assignment[i] for i in range(len(full_assignment)) if a_density[i]]
     b_exps = [full_assignment[i] for i in range(len(full_assignment)) if b_density[i]]
