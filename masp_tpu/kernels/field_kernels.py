@@ -279,12 +279,13 @@ def _g_add_callable(kind: str, tb: int):
     spec = FQ
     Lk = spec.L if kind == "g1" else 2 * spec.L
     kernel = _g1_add_kernel if kind == "g1" else _g2_add_kernel
+    kern = partial(kernel, spec)  # one object: lets tracing/lowering cache
 
     def run(px, py, pz, qx, qy, qz):
         B1 = px.shape[1]
         grid = (B1 // tb,)
         return pl.pallas_call(
-            partial(kernel, spec),
+            kern,
             out_shape=[jax.ShapeDtypeStruct(px.shape, jnp.uint32)] * 3,
             grid=grid,
             in_specs=[_block_spec(Lk, tb)] * 6,
@@ -292,7 +293,9 @@ def _g_add_callable(kind: str, tb: int):
             interpret=_interpret(),
         )(px, py, pz, qx, qy, qz)
 
-    return run
+    # jit wrapper: the kernel body traces once per shape (pjit caches the
+    # jaxpr), instead of once per call site in every enclosing trace
+    return jax.jit(run)
 
 
 def pallas_point_add(fops_kind: str, p, q, coord_shape):
@@ -307,12 +310,13 @@ def pallas_point_add(fops_kind: str, p, q, coord_shape):
 @lru_cache(maxsize=None)
 def _mont_mul_callable(spec_name: str, tb: int):
     spec = FR if spec_name == "Fr" else FQ
+    kern = partial(_mont_mul_kernel, spec)
 
     def run(a, b):
         B1 = a.shape[1]
         grid = (B1 // tb,)
         return pl.pallas_call(
-            partial(_mont_mul_kernel, spec),
+            kern,
             out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
             grid=grid,
             in_specs=[_block_spec(spec.L, tb)] * 2,
@@ -320,7 +324,7 @@ def _mont_mul_callable(spec_name: str, tb: int):
             interpret=_interpret(),
         )(a, b)
 
-    return run
+    return jax.jit(run)
 
 
 def pallas_mont_mul(spec: FieldSpec, a, b):
