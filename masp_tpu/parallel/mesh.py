@@ -24,8 +24,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from masp_tpu.ops import field_jax as F
 from masp_tpu.ops import msm as M
 from masp_tpu.ops import weierstrass_jax as W
+from masp_tpu.ops.field_jax import FR
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "msm") -> Mesh:
@@ -65,6 +67,71 @@ def sharded_pippenger(mesh: Mesh, fops, points_xyz, digits, c: int, lanes: int,
     return tuple(s[0] for s in acc)
 
 
+def sharded_ntt(mesh: Mesh, dom, x, axis: str = "ntt", inverse: bool = False):
+    """Size-m NTT with the element axis sharded over `axis` (D devices).
+
+    Distributed DIT radix-2: after the bit-reversal permutation the array
+    is sharded in contiguous chunks of C = m/D elements. Stages with
+    half = 2^s < C pair elements inside one chunk (ICI-free); the final
+    log2(D) stages pair chunk d with chunk d XOR (half/C) — one
+    ``ppermute`` chunk exchange per stage, each device computing its own
+    half of the butterfly. Total multiplies identical to Domain.fft
+    (groth16/domain.py); communication = log2(D) chunk swaps on ICI.
+
+    Replaces bellperson's in-node rayon FFT (SURVEY.md L5) at pod scale.
+    x: (m, L) Montgomery limbs. Returns the transformed (m, L) array.
+    """
+    D = mesh.shape[axis]
+    m, log_m = dom.m, dom.log_m
+    C = m // D
+    assert C * D == m and C & (C - 1) == 0, "m must be D * power-of-two"
+    log_c = C.bit_length() - 1
+
+    tws = [jnp.asarray(t) for t in dom._twiddles(inverse)]
+    brev = jnp.asarray(dom._bitrev())
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
+        check_rep=False,
+    )
+    def body(xc):
+        # xc: (C, L) local chunk (shard_map strips the sharded axis factor)
+        d = jax.lax.axis_index(axis)
+
+        # local stages: butterfly groups fit inside the chunk
+        for s in range(min(log_c, log_m)):
+            half = 1 << s
+            xr = xc.reshape(C // (2 * half), 2, half, FR.L)
+            even, odd = xr[:, 0], F.mont_mul(FR, xr[:, 1], tws[s][None])
+            xc = jnp.stack(
+                [F.add(FR, even, odd), F.sub(FR, even, odd)], axis=1
+            ).reshape(C, FR.L)
+
+        # cross-device stages: one chunk exchange per stage
+        for s in range(log_c, log_m):
+            half = 1 << s
+            bit = half // C  # partner distance in chunks
+            pairs = [(i, i ^ bit) for i in range(D)]
+            yc = jax.lax.ppermute(xc, axis, pairs)
+            is_even = (d & bit) == 0
+            # twiddle run for this chunk: j = (d*C mod half) + [0..C)
+            j0 = (jnp.remainder(d * C, half)).astype(jnp.int32)
+            tw = jax.lax.dynamic_slice_in_dim(tws[s], j0, C, 0)
+            E = jnp.where(is_even, xc, yc)
+            O = jnp.where(is_even, yc, xc)
+            wO = F.mont_mul(FR, O, tw)
+            xc = jnp.where(
+                is_even, F.add(FR, E, wO), F.sub(FR, E, wO)
+            )
+        return xc
+
+    y = body(x[brev])
+    if inverse:
+        minv = jnp.asarray(F.encode(FR, [dom.m_inv])[0])
+        y = F.mont_mul(FR, y, minv[None, :])
+    return y
+
+
 def dp_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Batch-of-proofs axis sharding (DCN-friendly; no cross-talk)."""
     return NamedSharding(mesh, P(axis))
@@ -84,4 +151,4 @@ def dp_batch_ntt(mesh: Mesh, dom, values, axis: str = "dp"):
     return local(values)
 
 
-__all__ = ["make_mesh", "sharded_pippenger", "dp_sharding", "dp_batch_ntt"]
+__all__ = ["make_mesh", "sharded_pippenger", "sharded_ntt", "dp_sharding", "dp_batch_ntt"]
