@@ -15,7 +15,7 @@ rayon-parallel CPU prover on a contemporary server CPU (criterion harness
 exists but numbers are unpublished; see BASELINE.md).
 
 Env:
-  MASP_BENCH_CIRCUIT=spend|output   (default spend)
+  MASP_BENCH_CIRCUIT=spend|output|convert   (default spend)
   MASP_BENCH_ITERS=N                (default 2)
 """
 
@@ -26,6 +26,7 @@ import time
 
 REF_SPEND_SECONDS = 2.0  # documented assumption; see module docstring
 REF_OUTPUT_SECONDS = 0.6
+REF_CONVERT_SECONDS = 1.0
 
 
 def main():
@@ -53,10 +54,21 @@ def main():
         make_circuit, public_inputs = _spend_fixture(rng)
         params = cached_test_params("spend-test", Spend, rng)
         ref_seconds = REF_SPEND_SECONDS
-    else:
+    elif circuit_kind == "convert":
+        from masp_tpu.circuits.convert import Convert
+
+        make_circuit, public_inputs = _convert_fixture(rng)
+        params = cached_test_params("convert-test", Convert, rng)
+        ref_seconds = REF_CONVERT_SECONDS
+    elif circuit_kind == "output":
         make_circuit, public_inputs = _output_fixture(rng)
         params = cached_test_params("output-test", Output, rng)
         ref_seconds = REF_OUTPUT_SECONDS
+    else:
+        raise SystemExit(
+            f"unknown MASP_BENCH_CIRCUIT={circuit_kind!r} "
+            "(expected spend, output, or convert)"
+        )
 
     pvk = prepare_verifying_key(params.vk)
     prepare_device_params(params)
@@ -145,6 +157,45 @@ def _spend_fixture(rng):
         )
 
     inputs = spend_public_inputs(rk, value_commitment.commitment(), anchor, nf)
+    return make, inputs
+
+
+def _convert_fixture(rng):
+    """Mirrors masp_proofs/benches/convert.rs: an AllowedConversion leaf
+    (pedersen hash of the asset generator bits) in a 32-deep tree."""
+    from masp_tpu.circuits.convert import Convert
+    from masp_tpu.fields import Scalar
+    from masp_tpu.groth16.sapling_prover import convert_public_inputs
+    from masp_tpu.primitives.asset_type import AssetType
+    from masp_tpu.primitives.pedersen import Personalization, pedersen_hash
+    from masp_tpu.primitives.sapling import merkle_hash
+    from masp_tpu.utils.rng import random_jubjub_fr
+
+    asset_type = AssetType.new(b"convert-bench")
+    value_commitment = asset_type.value_commitment(1234567, random_jubjub_fr(rng))
+    gen_bytes = asset_type.asset_generator().to_bytes()
+    leaf_bits = [(b >> i) & 1 == 1 for b in gen_bytes for i in range(8)]
+    cur = pedersen_hash(Personalization.note_commitment(), leaf_bits).to_affine()[0].n
+    auth_path = [
+        (Scalar.from_bytes_wide(rng.fill_bytes(64)).n, rng.next_u32() % 2 != 0)
+        for _ in range(32)
+    ]
+    for i, (sibling, is_right) in enumerate(auth_path):
+        lhs, rhs = (sibling, cur) if is_right else (cur, sibling)
+        cur = int.from_bytes(
+            merkle_hash(i, lhs.to_bytes(32, "little"), rhs.to_bytes(32, "little")),
+            "little",
+        )
+    anchor = cur
+
+    def make():
+        return Convert(
+            value_commitment=value_commitment,
+            auth_path=list(auth_path),
+            anchor=anchor,
+        )
+
+    inputs = convert_public_inputs(value_commitment.commitment(), anchor)
     return make, inputs
 
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from masp_tpu.ops import field_jax as F
 from masp_tpu.ops import msm as M
@@ -49,7 +49,7 @@ def sharded_pippenger(mesh: Mesh, fops, points_xyz, digits, c: int, lanes: int,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     def local_msm(px, py, pz, d):
         out = M.pippenger_msm(fops, (px, py, pz), d, c=c, lanes=lanes)
@@ -92,7 +92,7 @@ def sharded_ntt(mesh: Mesh, dom, x, axis: str = "ntt", inverse: bool = False):
 
     @partial(
         shard_map, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     def body(xc):
         # xc: (C, L) local chunk (shard_map strips the sharded axis factor)
@@ -143,7 +143,7 @@ def dp_batch_ntt(mesh: Mesh, dom, values, axis: str = "dp"):
 
     @partial(
         shard_map, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     def local(v):
         return jax.vmap(dom.fft)(v)
