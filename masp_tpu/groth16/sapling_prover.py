@@ -333,6 +333,7 @@ class BatchValidator:
         convert_vk: PreparedVerifyingKey,
         output_vk: PreparedVerifyingKey,
         rng=None,
+        use_device_pairing: bool = False,
     ) -> bool:
         if not self.bundles_added:
             return True
@@ -359,7 +360,8 @@ class BatchValidator:
             (self.output_proofs, output_vk),
         ):
             if batch.proofs and not verify_proofs_batch(
-                vk, rng, batch.proofs, batch.inputs
+                vk, rng, batch.proofs, batch.inputs,
+                use_device_pairing=use_device_pairing,
             ):
                 _log.debug("batch validation failed Groth16 proof batch")
                 return False

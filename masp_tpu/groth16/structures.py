@@ -108,6 +108,9 @@ class PreparedVerifyingKey:
     neg_gamma_g2: G2
     neg_delta_g2: G2
     ic: list[G1]
+    # retained for the device-pairing batch path (alpha*beta as a pair)
+    alpha_g1: G1 | None = None
+    beta_g2: G2 | None = None
 
 
 def prepare_verifying_key(vk: VerifyingKey) -> PreparedVerifyingKey:
@@ -116,6 +119,8 @@ def prepare_verifying_key(vk: VerifyingKey) -> PreparedVerifyingKey:
         neg_gamma_g2=-vk.gamma_g2,
         neg_delta_g2=-vk.delta_g2,
         ic=list(vk.ic),
+        alpha_g1=vk.alpha_g1,
+        beta_g2=vk.beta_g2,
     )
 
 

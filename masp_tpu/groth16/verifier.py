@@ -34,6 +34,7 @@ def verify_proofs_batch(
     rng,
     proofs: list[Proof],
     public_inputs: list[list[int]],
+    use_device_pairing: bool = False,
 ) -> bool:
     """Random linear combination batch verification:
     prod_i e(z_i A_i, B_i) == (alpha*beta)^(sum z_i) * e(sum z_i acc_i, gamma)
@@ -58,6 +59,12 @@ def verify_proofs_batch(
 
     pairs.append((acc_gamma, pvk.neg_gamma_g2))
     pairs.append((acc_delta, pvk.neg_delta_g2))
+    if use_device_pairing and pvk.alpha_g1 is not None:
+        # fold (alpha*beta)^sum_z into the product: e(-sum_z alpha, beta)
+        from masp_tpu.ops.pairing_jax import pairing_product_is_one_device
+
+        pairs.append(((-pvk.alpha_g1) * sum_z, pvk.beta_g2))
+        return pairing_product_is_one_device(pairs)
     ml = multi_miller_loop(pairs)
     return final_exponentiation(ml) == pvk.alpha_g1_beta_g2.pow(sum_z)
 

@@ -61,3 +61,9 @@ def test_groth16_end_to_end():
     # batch verification accepts the proof and rejects corrupted inputs
     assert verify_proofs_batch(pvk, rng, [proof], [[35]])
     assert not verify_proofs_batch(pvk, rng, [proof], [[36]])
+
+    # the device-pairing batch path agrees on both outcomes
+    assert verify_proofs_batch(pvk, rng, [proof], [[35]], use_device_pairing=True)
+    assert not verify_proofs_batch(
+        pvk, rng, [proof], [[36]], use_device_pairing=True
+    )
