@@ -290,7 +290,10 @@ class BatchValidator:
             )
             entry._kind = "spend"
             self.signatures.append(entry)
-            self.spend_proofs.proofs.append(Proof.read(spend.zkproof))
+            proof = Proof.try_read(spend.zkproof)
+            if proof is None:
+                return False
+            self.spend_proofs.proofs.append(proof)
             self.spend_proofs.inputs.append(
                 spend_public_inputs(spend.rk.point, spend.cv, spend.anchor.n, spend.nullifier)
             )
@@ -298,7 +301,10 @@ class BatchValidator:
             if convert.cv.is_small_order():
                 return False
             ctx.cv_sum = ctx.cv_sum + convert.cv
-            self.convert_proofs.proofs.append(Proof.read(convert.zkproof))
+            proof = Proof.try_read(convert.zkproof)
+            if proof is None:
+                return False
+            self.convert_proofs.proofs.append(proof)
             self.convert_proofs.inputs.append(
                 convert_public_inputs(convert.cv, convert.anchor.n)
             )
@@ -307,7 +313,10 @@ class BatchValidator:
             if epk is None or output.cv.is_small_order() or epk.is_small_order():
                 return False
             ctx.cv_sum = ctx.cv_sum - output.cv
-            self.output_proofs.proofs.append(Proof.read(output.zkproof))
+            proof = Proof.try_read(output.zkproof)
+            if proof is None:
+                return False
+            self.output_proofs.proofs.append(proof)
             self.output_proofs.inputs.append(
                 output_public_inputs(output.cv, epk, output.cmu.n)
             )

@@ -27,7 +27,8 @@ class Proof:
 
     @staticmethod
     def read(data: bytes, check_subgroup: bool = True) -> "Proof":
-        assert len(data) == 192
+        if len(data) != 192:
+            raise ValueError("proof must be 192 bytes")
         a = G1.from_compressed(data[0:48], check_subgroup)
         b = G2.from_compressed(data[48:144], check_subgroup)
         c = G1.from_compressed(data[144:192], check_subgroup)
@@ -36,6 +37,16 @@ class Proof:
         if a.is_identity() or b.is_identity() or c.is_identity():
             raise ValueError("point at infinity in proof")
         return Proof(a, b, c)
+
+    @staticmethod
+    def try_read(data: bytes, check_subgroup: bool = True) -> "Proof | None":
+        """Non-raising variant for untrusted bundle bytes: the reference's
+        batch path rejects malformed proofs instead of erroring
+        (masp_proofs/src/sapling/verifier/batch.rs:85-87)."""
+        try:
+            return Proof.read(data, check_subgroup)
+        except (ValueError, TypeError):
+            return None
 
     def __eq__(self, other):
         return self.a == other.a and self.b == other.b and self.c == other.c

@@ -39,6 +39,8 @@ def verify_proofs_batch(
     """Random linear combination batch verification:
     prod_i e(z_i A_i, B_i) == (alpha*beta)^(sum z_i) * e(sum z_i acc_i, gamma)
                               * e(sum z_i C_i, delta)."""
+    if len(proofs) != len(public_inputs):
+        return False
     for pi in public_inputs:
         if len(pi) + 1 != len(pvk.ic):
             return False

@@ -37,14 +37,16 @@ class Signature:
     sbar: bytes
 
     def __post_init__(self):
-        assert len(self.rbar) == 32 and len(self.sbar) == 32
+        if len(self.rbar) != 32 or len(self.sbar) != 32:
+            raise ValueError("signature halves must be 32 bytes each")
 
     def to_bytes(self) -> bytes:
         return self.rbar + self.sbar
 
     @staticmethod
     def from_bytes(b: bytes) -> "Signature":
-        assert len(b) == 64
+        if len(b) != 64:
+            raise ValueError("signature must be 64 bytes")
         return Signature(b[0:32], b[32:64])
 
 

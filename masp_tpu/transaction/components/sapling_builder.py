@@ -220,9 +220,19 @@ class UnauthorizedBundle:
 
 
 def _shuffle(rng, items: list) -> None:
-    """Fisher-Yates with the build RNG (indistinguishability shuffle)."""
+    """Fisher-Yates with the build RNG (indistinguishability shuffle).
+
+    Uses rejection sampling for unbiased indices, matching rand's
+    uniform shuffle semantics (the reference shuffles via rand's
+    SliceRandom, components/sapling/builder.rs:918-928)."""
     for i in range(len(items) - 1, 0, -1):
-        j = rng.next_u64() % (i + 1)
+        n = i + 1
+        limit = (1 << 64) - ((1 << 64) % n)
+        while True:
+            r = rng.next_u64()
+            if r < limit:
+                break
+        j = r % n
         items[i], items[j] = items[j], items[i]
 
 
