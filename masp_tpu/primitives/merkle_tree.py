@@ -387,8 +387,10 @@ class MerklePath:
         w.u64_le(position)
 
     @staticmethod
-    def from_slice(data: bytes, depth: int = DEPTH) -> "MerklePath":
-        r = Reader(data)
+    def read(r: Reader) -> "MerklePath":
+        """Stream deserializer (borsh impl, merkle_tree.rs:789-843): depth
+        byte, depth x (len byte + 32-byte node) reversed, u64 LE position.
+        Leaves trailing bytes unread (for embedding in larger records)."""
         d = r.u8()
         entries = []
         for _ in range(d):
@@ -397,13 +399,19 @@ class MerklePath:
                 raise ValueError("sibling node must be 32 bytes")
             entries.append(Node(r.read(32)))
         position = r.u64_le()
-        if r.remaining():
-            raise ValueError("trailing bytes in witness")
-        if d != depth:
-            raise ValueError("wrong path depth")
         entries.reverse()
         auth_path = [(n, (position >> i) & 1 == 1) for i, n in enumerate(entries)]
         return MerklePath(auth_path, position)
+
+    @staticmethod
+    def from_slice(data: bytes, depth: int = DEPTH) -> "MerklePath":
+        r = Reader(data)
+        path = MerklePath.read(r)
+        if r.remaining():
+            raise ValueError("trailing bytes in witness")
+        if len(path.auth_path) != depth:
+            raise ValueError("wrong path depth")
+        return path
 
     def to_bytes(self) -> bytes:
         w = Writer()

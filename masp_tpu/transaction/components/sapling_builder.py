@@ -103,6 +103,19 @@ class StoredBuildParams(BuildParams):
     def output_rseed(self, i):
         return self.output_params[i].rseed
 
+    def to_bytes(self) -> bytes:
+        """Borsh serialization (sapling/builder.rs:249-283) — persists all
+        build randomness for deterministic rebuilds / hardware wallets."""
+        from masp_tpu.transaction.borsh_io import stored_build_params_to_bytes
+
+        return stored_build_params_to_bytes(self)
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "StoredBuildParams":
+        from masp_tpu.transaction.borsh_io import stored_build_params_from_bytes
+
+        return stored_build_params_from_bytes(data)
+
 
 class RngBuildParams(BuildParams):
     """Lazily samples and memoizes randomness from an RNG."""
