@@ -10,6 +10,7 @@ from __future__ import annotations
 from masp_tpu.circuits import constants as ccon
 from masp_tpu.fields import SCALAR_MODULUS
 from masp_tpu.primitives import constants as pcon
+from masp_tpu.r1cs import wit
 from masp_tpu.r1cs.cs import ONE, lc, lc_var
 from masp_tpu.r1cs.gadgets import blake2s, boolean, ecc, multipack, pedersen
 from masp_tpu.r1cs.gadgets.boolean import AllocatedBit, Boolean
@@ -296,7 +297,7 @@ class Output:
         # pk_d: witnessed unchecked as v bits + sign bit
         if self.payment_address is not None:
             pu, pv = self.payment_address.pk_d.to_affine()
-            pk_d_v, pk_d_sign = pv.n, bool(pu.n & 1)
+            pk_d_v, pk_d_sign = pv.n, wit.bit(pu.n, 0)
         else:
             pk_d_v = pk_d_sign = None
         with cs.ns("pk_d bits of v"):

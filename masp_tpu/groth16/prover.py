@@ -83,6 +83,21 @@ def _csr_for(cs):
     return csr
 
 
+def _assignment_u64(cs) -> np.ndarray:
+    """Full assignment (inputs then aux) as (n, 4) u64 LE."""
+    if hasattr(cs, "inputs_u64"):  # TapeWitness: already arrays
+        return np.concatenate([cs.inputs_u64, cs.aux_u64], axis=0)
+    return _ints_to_u64x4(cs.input_assignment + cs.aux_assignment)
+
+
+def _digits_from_u64(arr: np.ndarray, n_padded: int) -> np.ndarray:
+    """(n, 4) u64 LE scalars -> (n_padded, 32) int32 byte digits (c=8)."""
+    n = arr.shape[0]
+    out = np.zeros((n_padded, 32), dtype=np.int32)
+    out[:n] = np.ascontiguousarray(arr).view(np.uint8).reshape(n, 32)
+    return out
+
+
 def _compute_abc_limbs(cs, m):
     """Canonical (non-Montgomery) 16-bit-limb arrays (m, L) of the
     per-constraint a/b/c evaluations; native C++ path when available."""
@@ -91,7 +106,7 @@ def _compute_abc_limbs(cs, m):
     n = cs.num_constraints
     if native.available():
         indptr, var_idx, coeffs = _csr_for(cs)
-        assignment = _ints_to_u64x4(cs.input_assignment + cs.aux_assignment)
+        assignment = _assignment_u64(cs)
         vals = native.eval_lc_rows_native(indptr, var_idx, coeffs, assignment)
         limbs = _u64x4_to_limbs16(vals)  # (3n, 16)
         out = []
@@ -188,11 +203,6 @@ def _encode_g2_padded(points, lanes):
     return tuple(jnp.asarray(x) for x in W.encode_g2_points(pts))
 
 
-def _digits_padded(scalars, n_padded):
-    d = M.scalars_to_digits(list(scalars) + [0] * (n_padded - len(scalars)), MSM_C, 256)
-    return jnp.asarray(d)
-
-
 def prepare_device_params(params: Parameters) -> None:
     """Encode all proving queries once onto the device (cached in
     params.device). All G1 queries pad to ONE shared size so a single
@@ -208,9 +218,28 @@ def prepare_device_params(params: Parameters) -> None:
     params.device["b_g2"] = _encode_g2_padded(params.b_g2, MSM_LANES_G2)
 
 
-def synthesize_witness(circuit):
-    """Run circuit synthesis with full assignments; returns the assembly
-    (with input constraints appended, as bellman's prover does)."""
+def synthesize_witness(circuit, use_tape: bool | None = None):
+    """Produce the full R1CS assignment for a circuit instance.
+
+    Fast path (default when available): replay the circuit's recorded
+    witness tape in C++ (masp_tpu/circuits/witness_tape.py) — the
+    equivalent of bellperson's native parallel synthesis. Falls back to the
+    Python gadget walk (also used for structure and as the recording
+    substrate)."""
+    import os
+
+    if use_tape is None:
+        use_tape = os.environ.get("MASP_WITNESS_TAPE", "1") == "1"
+    if use_tape:
+        from masp_tpu import native
+        from masp_tpu.circuits import witness_tape as WT
+
+        if (
+            native.tape_available()
+            and WT.supported(circuit)
+            and WT.has_full_instance(circuit)
+        ):
+            return WT.fast_witness(circuit)
     cs = ProvingAssembly()
     circuit.synthesize(cs)
     _add_input_constraints(cs)
@@ -225,7 +254,6 @@ def create_proof(circuit, params: Parameters, r: int, s: int) -> Proof:
 def create_proof_from_assembly(cs, params: Parameters, r: int, s: int) -> Proof:
     prepare_device_params(params)
 
-    inputs, aux = cs.input_assignment, cs.aux_assignment
     m = 1 << (cs.num_constraints - 1).bit_length()
     dom = Domain(m)
 
@@ -253,23 +281,32 @@ def create_proof_from_assembly(cs, params: Parameters, r: int, s: int) -> Proof:
         dens = _densities(cs)
         _JIT_CACHE[dkey] = dens
     a_density, b_density = dens
-    full_assignment = inputs + aux
-    a_exps = [full_assignment[i] for i in range(len(full_assignment)) if a_density[i]]
-    b_exps = [full_assignment[i] for i in range(len(full_assignment)) if b_density[i]]
-    assert len(a_exps) == len(params.a)
-    assert len(b_exps) == len(params.b_g1)
+    full_u64 = _assignment_u64(cs)  # (n_vars, 4) u64 LE
+    aux_u64 = full_u64[cs.num_inputs :]
+    a_exps_u64 = full_u64[a_density]
+    b_exps_u64 = full_u64[b_density]
+    assert a_exps_u64.shape[0] == len(params.a)
+    assert b_exps_u64.shape[0] == len(params.b_g1)
+    n_aux = aux_u64.shape[0]
 
     l_answer = _msm_g1(
-        params.device["l"], _digits_padded(aux, params.device["l"][0].shape[0]), len(aux)
+        params.device["l"],
+        _digits_from_u64(aux_u64, params.device["l"][0].shape[0]),
+        n_aux,
     )
     a_answer = _msm_g1(
-        params.device["a"], _digits_padded(a_exps, params.device["a"][0].shape[0]), len(a_exps)
+        params.device["a"],
+        _digits_from_u64(a_exps_u64, params.device["a"][0].shape[0]),
+        a_exps_u64.shape[0],
     )
     b1_answer = _msm_g1(
-        params.device["b_g1"], _digits_padded(b_exps, params.device["b_g1"][0].shape[0]), len(b_exps)
+        params.device["b_g1"],
+        _digits_from_u64(b_exps_u64, params.device["b_g1"][0].shape[0]),
+        b_exps_u64.shape[0],
     )
     b2_answer = _msm_g2(
-        params.device["b_g2"], _digits_padded(b_exps, params.device["b_g2"][0].shape[0])
+        params.device["b_g2"],
+        _digits_from_u64(b_exps_u64, params.device["b_g2"][0].shape[0]),
     )
 
     vk = params.vk

@@ -299,11 +299,15 @@ def _g_add_callable(kind: str, tb: int):
 
 
 def pallas_point_add(fops_kind: str, p, q, coord_shape):
-    """p, q: tuples of (B,)+coord_shape arrays. Returns same-layout sum."""
+    """p, q: tuples of (B,)+coord_shape arrays. Returns same-layout sum.
+
+    Always uses the TB=8 kernel variant: small batches pad to 8*128 (the
+    padding adds are negligible), keeping ONE traced pallas body per group
+    kind (each extra (kind, tb) variant costs ~25-30 s of per-process
+    kernel tracing) and keeping block shapes divisible by (8, 128)."""
     B = p[0].shape[0]
-    tb = TB if B >= TB * LANE else 1  # small batches: 8x less padding
-    enc = [to_kernel_layout(c, tb)[0] for c in (*p, *q)]
-    ox, oy, oz = _g_add_callable(fops_kind, tb)(*enc)
+    enc = [to_kernel_layout(c, TB)[0] for c in (*p, *q)]
+    ox, oy, oz = _g_add_callable(fops_kind, TB)(*enc)
     return tuple(from_kernel_layout(o, B, coord_shape) for o in (ox, oy, oz))
 
 
@@ -332,10 +336,9 @@ def pallas_mont_mul(spec: FieldSpec, a, b):
     shape = a.shape[:-1]
     a2 = a.reshape(-1, spec.L)
     b2 = jnp.broadcast_to(b, a.shape).reshape(-1, spec.L)
-    tb = TB if a2.shape[0] >= TB * LANE else 1
-    ak, B = to_kernel_layout(a2, tb)
-    bk, _ = to_kernel_layout(b2, tb)
-    out = _mont_mul_callable(spec.name, tb)(ak, bk)
+    ak, B = to_kernel_layout(a2, TB)
+    bk, _ = to_kernel_layout(b2, TB)
+    out = _mont_mul_callable(spec.name, TB)(ak, bk)
     return from_kernel_layout(out, B, (spec.L,)).reshape(shape + (spec.L,))
 
 

@@ -20,11 +20,14 @@ _LIB = None
 _TRIED = False
 
 
+_SOURCES = ("lc_eval.cpp", "witness_tape.cpp")
+
+
 def _build() -> bool:
-    src = _DIR / "lc_eval.cpp"
+    srcs = [str(_DIR / s) for s in _SOURCES]
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", str(_SO), str(src)],
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(_SO), *srcs],
             check=True,
             capture_output=True,
         )
@@ -33,13 +36,20 @@ def _build() -> bool:
         return False
 
 
+def _is_stale() -> bool:
+    if not _SO.exists():
+        return True
+    so_mtime = _SO.stat().st_mtime
+    return any((_DIR / s).stat().st_mtime > so_mtime for s in _SOURCES)
+
+
 def get_lib():
     """Load (building if needed) the native library, or None."""
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not _SO.exists() and not _build():
+    if _is_stale() and not _build() and not _SO.exists():
         return None
     lib = ctypes.CDLL(str(_SO))
     lib.eval_lc_rows.argtypes = [
@@ -55,6 +65,18 @@ def get_lib():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint32),
     ]
+    try:
+        lib.replay_tape.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.replay_tape.restype = ctypes.c_int64
+    except AttributeError:
+        pass  # older .so without the tape interpreter
     _LIB = lib
     return lib
 
@@ -88,4 +110,39 @@ def available() -> bool:
     return get_lib() is not None
 
 
-__all__ = ["get_lib", "eval_lc_rows_native", "available"]
+def tape_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "replay_tape")
+
+
+def replay_tape_native(ops: np.ndarray, consts: np.ndarray,
+                       inputs: np.ndarray) -> np.ndarray:
+    """Execute a witness tape (see r1cs/tape.py for the op set).
+
+    ops (n, 3) int64; consts (k, 4) u64 LE; inputs (m, 4) u64 LE.
+    Returns all registers as (n, 4) u64 LE. Raises ValueError if the tape
+    hits a zero inverse."""
+    lib = get_lib()
+    assert lib is not None
+    n = ops.shape[0]
+    ops = np.ascontiguousarray(ops, dtype=np.int64)
+    consts = np.ascontiguousarray(consts, dtype=np.uint64)
+    inputs = np.ascontiguousarray(inputs, dtype=np.uint64)
+    out = np.empty((n, 4), dtype=np.uint64)
+    rc = lib.replay_tape(
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        _as_u64_ptr(consts),
+        _as_u64_ptr(inputs),
+        inputs.shape[0],
+        _as_u64_ptr(out),
+    )
+    if rc != 0:
+        raise ValueError(f"tape replay failed at op {rc - 1} (zero inverse?)")
+    return out
+
+
+__all__ = [
+    "get_lib", "eval_lc_rows_native", "available",
+    "tape_available", "replay_tape_native",
+]

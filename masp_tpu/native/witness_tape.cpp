@@ -1,0 +1,267 @@
+// Witness-tape interpreter over the BLS12-381 scalar field.
+//
+// Executes the flat opcode tape recorded by masp_tpu/r1cs/tape.py —
+// the native replacement for per-proof Python gadget synthesis (the
+// reference does this with bellperson's rayon-parallel witness closures,
+// SURVEY.md §3.1). Values are canonical (non-Montgomery) 4x64-bit
+// little-endian residues; MUL reduces a 512-bit product by 2^256-folding,
+// INV is a binary extended GCD.
+//
+// Built into libmasp_native.so alongside lc_eval.cpp.
+
+#include <cstdint>
+#include <cstring>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+static const u64 R_LIMBS[4] = {
+    0xffffffff00000001ULL, 0x53bda402fffe5bfeULL,
+    0x3339d80809a1d805ULL, 0x73eda753299d7d48ULL,
+};
+static const u64 T256_LIMBS[4] = {
+    0x00000001fffffffeULL, 0x5884b7fa00034802ULL,
+    0x998c4fefecbc4ff5ULL, 0x1824b159acc5056fULL,
+};
+
+namespace {
+
+struct U512 { u64 l[8]; };
+
+inline int ge_256(const u64 a[4], const u64 b[4]) {
+    for (int i = 3; i >= 0; i--) {
+        if (a[i] > b[i]) return 1;
+        if (a[i] < b[i]) return 0;
+    }
+    return 1;
+}
+
+inline int is_zero(const u64 a[4]) {
+    return (a[0] | a[1] | a[2] | a[3]) == 0;
+}
+
+inline void sub_256_in(u64 a[4], const u64 b[4]) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 cur = (u128)a[i] - b[i] - (u64)borrow;
+        a[i] = (u64)cur;
+        borrow = (cur >> 64) & 1;
+    }
+}
+
+inline void mul_256x256(const u64 a[4], const u64 b[4], U512* out) {
+    u64 r[8] = {0};
+    for (int i = 0; i < 4; i++) {
+        u64 carry = 0;
+        for (int j = 0; j < 4; j++) {
+            u128 cur = (u128)a[i] * b[j] + r[i + j] + carry;
+            r[i + j] = (u64)cur;
+            carry = (u64)(cur >> 64);
+        }
+        r[i + 4] += carry;
+    }
+    std::memcpy(out->l, r, sizeof(r));
+}
+
+void reduce_512(const U512* t, u64 out[4]) {
+    u64 lo[4], hi[4];
+    std::memcpy(lo, t->l, 32);
+    std::memcpy(hi, t->l + 4, 32);
+    while (hi[0] | hi[1] | hi[2] | hi[3]) {
+        U512 folded;
+        mul_256x256(hi, T256_LIMBS, &folded);
+        u128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 cur = (u128)folded.l[i] + lo[i] + (u64)carry;
+            folded.l[i] = (u64)cur;
+            carry = cur >> 64;
+        }
+        for (int i = 4; i < 8 && carry; i++) {
+            u128 cur = (u128)folded.l[i] + (u64)carry;
+            folded.l[i] = (u64)cur;
+            carry = cur >> 64;
+        }
+        std::memcpy(lo, folded.l, 32);
+        std::memcpy(hi, folded.l + 4, 32);
+    }
+    while (ge_256(lo, R_LIMBS)) sub_256_in(lo, R_LIMBS);
+    std::memcpy(out, lo, 32);
+}
+
+inline void add_mod(const u64 a[4], const u64 b[4], u64 out[4]) {
+    u64 t[4];
+    u128 carry = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 cur = (u128)a[i] + b[i] + (u64)carry;
+        t[i] = (u64)cur;
+        carry = cur >> 64;
+    }
+    if (carry || ge_256(t, R_LIMBS)) sub_256_in(t, R_LIMBS);
+    std::memcpy(out, t, 32);
+}
+
+inline void sub_mod(const u64 a[4], const u64 b[4], u64 out[4]) {
+    u64 t[4];
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 cur = (u128)a[i] - b[i] - (u64)borrow;
+        t[i] = (u64)cur;
+        borrow = (cur >> 64) & 1;
+    }
+    if (borrow) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 cur = (u128)t[i] + R_LIMBS[i] + (u64)carry;
+            t[i] = (u64)cur;
+            carry = cur >> 64;
+        }
+    }
+    std::memcpy(out, t, 32);
+}
+
+inline void mul_mod(const u64 a[4], const u64 b[4], u64 out[4]) {
+    U512 p;
+    mul_256x256(a, b, &p);
+    reduce_512(&p, out);
+}
+
+inline void neg_mod(const u64 a[4], u64 out[4]) {
+    if (is_zero(a)) {
+        std::memset(out, 0, 32);
+        return;
+    }
+    u64 t[4];
+    std::memcpy(t, R_LIMBS, 32);
+    sub_256_in(t, a);
+    std::memcpy(out, t, 32);
+}
+
+// --- binary extended GCD inversion (values < r, r prime) -------------------
+
+inline void shr1_256(u64 a[4]) {
+    for (int i = 0; i < 3; i++) a[i] = (a[i] >> 1) | (a[i + 1] << 63);
+    a[3] >>= 1;
+}
+
+inline int is_even(const u64 a[4]) { return (a[0] & 1) == 0; }
+
+inline void add_256_carry(u64 a[4], const u64 b[4], u64* carry_out) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 cur = (u128)a[i] + b[i] + (u64)carry;
+        a[i] = (u64)cur;
+        carry = cur >> 64;
+    }
+    *carry_out = (u64)carry;
+}
+
+// halve a residue mod r: if odd, add r first (may carry into bit 256)
+inline void halve_mod(u64 a[4]) {
+    if (is_even(a)) {
+        shr1_256(a);
+    } else {
+        u64 carry;
+        add_256_carry(a, R_LIMBS, &carry);
+        shr1_256(a);
+        a[3] |= carry << 63;
+    }
+}
+
+int inv_mod(const u64 in[4], u64 out[4]) {
+    if (is_zero(in)) return 1;  // error: zero inverse
+    u64 u[4], v[4], b[4], c[4];
+    std::memcpy(u, in, 32);
+    std::memcpy(v, R_LIMBS, 32);
+    std::memset(b, 0, 32); b[0] = 1;   // b = 1
+    std::memset(c, 0, 32);             // c = 0
+    // invariant: b * in = u (mod r), c * in = v (mod r)
+    while (!is_zero(u)) {
+        while (is_even(u)) { shr1_256(u); halve_mod(b); }
+        while (is_even(v)) { shr1_256(v); halve_mod(c); }
+        if (ge_256(u, v)) {
+            sub_256_in(u, v);
+            sub_mod(b, c, b);
+        } else {
+            sub_256_in(v, u);
+            sub_mod(c, b, c);
+        }
+    }
+    // v == gcd == 1, c * in == 1
+    std::memcpy(out, c, 32);
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ops: (n, 3) int64 rows [opcode, a, b]; consts (k, 4) u64; inputs (m, 4)
+// u64; regs_out (n, 4) u64 receives every register.
+// Returns 0 on success, or 1 + op_index of the first zero-inverse.
+int64_t replay_tape(const int64_t* ops, int64_t n, const u64* consts,
+                    const u64* inputs, int64_t num_inputs, u64* regs) {
+    (void)num_inputs;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t op = ops[3 * i], a = ops[3 * i + 1], b = ops[3 * i + 2];
+        u64* out = regs + 4 * i;
+        switch (op) {
+            case 0:  // CONST
+                std::memcpy(out, consts + 4 * a, 32);
+                break;
+            case 1:  // INPUT
+                std::memcpy(out, inputs + 4 * a, 32);
+                break;
+            case 2:  // ADD
+                add_mod(regs + 4 * a, regs + 4 * b, out);
+                break;
+            case 3:  // SUB
+                sub_mod(regs + 4 * a, regs + 4 * b, out);
+                break;
+            case 4:  // MUL
+                mul_mod(regs + 4 * a, regs + 4 * b, out);
+                break;
+            case 5:  // NEG
+                neg_mod(regs + 4 * a, out);
+                break;
+            case 6:  // INV
+                if (inv_mod(regs + 4 * a, out)) return i + 1;
+                break;
+            case 7: {  // SHR by immediate b
+                const u64* x = regs + 4 * a;
+                u64 t[4];
+                std::memcpy(t, x, 32);
+                int64_t k = b;
+                int word = (int)(k / 64), bit = (int)(k % 64);
+                for (int j = 0; j < 4; j++) {
+                    u64 lo = (j + word < 4) ? t[j + word] : 0;
+                    u64 hi = (j + word + 1 < 4) ? t[j + word + 1] : 0;
+                    out[j] = bit ? ((lo >> bit) | (hi << (64 - bit))) : lo;
+                }
+                break;
+            }
+            case 8:  // XORW
+                for (int j = 0; j < 4; j++)
+                    out[j] = regs[4 * a + j] ^ regs[4 * b + j];
+                break;
+            case 9:  // ORW
+                for (int j = 0; j < 4; j++)
+                    out[j] = regs[4 * a + j] | regs[4 * b + j];
+                break;
+            case 10:  // ANDC (b = const index)
+                for (int j = 0; j < 4; j++)
+                    out[j] = regs[4 * a + j] & consts[4 * b + j];
+                break;
+            default:
+                return i + 1;
+        }
+    }
+    return 0;
+}
+
+// gather selected registers into a dense output (for assignment extraction)
+void gather_regs(const u64* regs, const int64_t* idx, int64_t n, u64* out) {
+    for (int64_t i = 0; i < n; i++)
+        std::memcpy(out + 4 * i, regs + 4 * idx[i], 32);
+}
+
+}  // extern "C"

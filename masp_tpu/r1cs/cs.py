@@ -427,9 +427,9 @@ def finv(a):
     closures)."""
     if a is None:
         return None
-    if a % R == 0:
-        raise DivisionByZero()
-    return pow(a, -1, R)
+    from masp_tpu.r1cs import wit
+
+    return wit.inv(a)
 
 
 def fdiv(a, b):

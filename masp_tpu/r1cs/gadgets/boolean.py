@@ -9,6 +9,7 @@ itself allocates under fixed names ("boolean", "xor result", ...).
 from __future__ import annotations
 
 from masp_tpu.fields import SCALAR_MODULUS
+from masp_tpu.r1cs import wit
 from masp_tpu.r1cs.cs import ONE, LinearCombination, SynthesisError, lc, lc_var
 
 R = SCALAR_MODULUS
@@ -22,15 +23,15 @@ class AllocatedBit:
         self.value = value
 
     @staticmethod
-    def alloc(cs, value: bool | None) -> "AllocatedBit":
-        var = cs.alloc("boolean", None if value is None else int(bool(value)))
+    def alloc(cs, value) -> "AllocatedBit":
+        var = cs.alloc("boolean", None if value is None else wit.as_bit(value))
         # (1 - a) * a = 0
         cs.enforce("boolean constraint", lc_var(ONE) - var, lc_var(var), lc())
         return AllocatedBit(var, value)
 
     @staticmethod
-    def alloc_conditionally(cs, value: bool | None, must_be_false: "AllocatedBit") -> "AllocatedBit":
-        var = cs.alloc("boolean", None if value is None else int(bool(value)))
+    def alloc_conditionally(cs, value, must_be_false: "AllocatedBit") -> "AllocatedBit":
+        var = cs.alloc("boolean", None if value is None else wit.as_bit(value))
         # (1 - must_be_false - a) * a = 0
         cs.enforce(
             "boolean constraint",
@@ -42,8 +43,8 @@ class AllocatedBit:
 
     @staticmethod
     def xor(cs, a: "AllocatedBit", b: "AllocatedBit") -> "AllocatedBit":
-        value = None if a.value is None or b.value is None else bool(a.value) ^ bool(b.value)
-        var = cs.alloc("xor result", None if value is None else int(value))
+        value = None if a.value is None or b.value is None else wit.b_xor(a.value, b.value)
+        var = cs.alloc("xor result", None if value is None else wit.as_bit(value))
         # 2a * b = a + b - c
         cs.enforce(
             "xor constraint",
@@ -55,22 +56,22 @@ class AllocatedBit:
 
     @staticmethod
     def and_(cs, a: "AllocatedBit", b: "AllocatedBit") -> "AllocatedBit":
-        value = None if a.value is None or b.value is None else bool(a.value) and bool(b.value)
-        var = cs.alloc("and result", None if value is None else int(value))
+        value = None if a.value is None or b.value is None else wit.b_and(a.value, b.value)
+        var = cs.alloc("and result", None if value is None else wit.as_bit(value))
         cs.enforce("and constraint", lc_var(a.var), lc_var(b.var), lc_var(var))
         return AllocatedBit(var, value)
 
     @staticmethod
     def and_not(cs, a: "AllocatedBit", b: "AllocatedBit") -> "AllocatedBit":
-        value = None if a.value is None or b.value is None else bool(a.value) and not b.value
-        var = cs.alloc("and not result", None if value is None else int(value))
+        value = None if a.value is None or b.value is None else wit.b_and_not(a.value, b.value)
+        var = cs.alloc("and not result", None if value is None else wit.as_bit(value))
         cs.enforce("and not constraint", lc_var(a.var), lc_var(ONE) - b.var, lc_var(var))
         return AllocatedBit(var, value)
 
     @staticmethod
     def nor(cs, a: "AllocatedBit", b: "AllocatedBit") -> "AllocatedBit":
-        value = None if a.value is None or b.value is None else (not a.value) and (not b.value)
-        var = cs.alloc("nor result", None if value is None else int(value))
+        value = None if a.value is None or b.value is None else wit.b_nor(a.value, b.value)
+        var = cs.alloc("nor result", None if value is None else wit.as_bit(value))
         cs.enforce("nor constraint", lc_var(ONE) - a.var, lc_var(ONE) - b.var, lc_var(var))
         return AllocatedBit(var, value)
 
@@ -103,7 +104,11 @@ class Boolean:
             return self.const
         if self.bit.value is None:
             return None
-        return bool(self.bit.value) if self.kind == Boolean.IS else not self.bit.value
+        return (
+            wit.truthy(self.bit.value)
+            if self.kind == Boolean.IS
+            else wit.b_not(wit.truthy(self.bit.value))
+        )
 
     def not_(self) -> "Boolean":
         if self.kind == Boolean.CONST:
@@ -181,7 +186,7 @@ class Boolean:
 
 def u64_into_boolean_vec_le(cs, value: int | None) -> list[Boolean]:
     values = (
-        [None] * 64 if value is None else [(value >> i) & 1 == 1 for i in range(64)]
+        [None] * 64 if value is None else [wit.bit(value, i) for i in range(64)]
     )
     out = []
     for i, b in enumerate(values):
@@ -197,7 +202,7 @@ def field_into_allocated_bits_le(cs, value: int | None, num_bits: int) -> list[A
     values = (
         [None] * num_bits
         if value is None
-        else [(value >> i) & 1 == 1 for i in range(num_bits)]
+        else [wit.bit(value, i) for i in range(num_bits)]
     )
     bits = []
     for i, b in enumerate(values):

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from masp_tpu.circuits.constants import EDWARDS_D, MONTGOMERY_A, MONTGOMERY_SCALE
 from masp_tpu.fields import SCALAR_MODULUS
+from masp_tpu.r1cs import wit
 from masp_tpu.r1cs.cs import (
     ONE, DivisionByZero, fadd, fdiv, fmul, fneg, fsub, lc, lc_var,
 )
@@ -94,7 +95,7 @@ class EdwardsPoint:
         cv = condition.get_value()
         u_val = None
         if cv is not None and self.u.value is not None:
-            u_val = self.u.value if cv else 0
+            u_val = wit.select(cv, self.u.value, 0)
         with cs.ns("u'"):
             u_prime = AllocatedNum.alloc(cs, u_val)
         cs.enforce(
@@ -106,7 +107,7 @@ class EdwardsPoint:
 
         v_val = None
         if cv is not None and self.v.value is not None:
-            v_val = self.v.value if cv else 1
+            v_val = wit.select(cv, self.v.value, 1)
         with cs.ns("v'"):
             v_prime = AllocatedNum.alloc(cs, v_val)
         cs.enforce(

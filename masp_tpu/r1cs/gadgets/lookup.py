@@ -8,6 +8,7 @@ windows, 2 constraints per chunk).
 from __future__ import annotations
 
 from masp_tpu.fields import SCALAR_MODULUS
+from masp_tpu.r1cs import wit
 from masp_tpu.r1cs.cs import ONE, lc, lc_var
 from masp_tpu.r1cs.gadgets.boolean import Boolean
 from masp_tpu.r1cs.gadgets.num import AllocatedNum, Num
@@ -30,15 +31,9 @@ def synth(window_size: int, constants: list[int]) -> list[int]:
     return c
 
 
-def _bits_index(bits: list[Boolean]) -> int | None:
-    idx = 0
-    for k, b in enumerate(bits):
-        v = b.get_value()
-        if v is None:
-            return None
-        if v:
-            idx |= 1 << k
-    return idx
+def _bit_values(bits: list[Boolean]):
+    vals = [b.get_value() for b in bits]
+    return None if any(v is None for v in vals) else vals
 
 
 def lookup3_xy(cs, bits: list[Boolean], coords: list[tuple[int, int]]):
@@ -46,11 +41,15 @@ def lookup3_xy(cs, bits: list[Boolean], coords: list[tuple[int, int]]):
     assert len(bits) == 3
     assert len(coords) == 8
 
-    i = _bits_index(bits)
+    bv = _bit_values(bits)
     with cs.ns("x"):
-        res_x = AllocatedNum.alloc(cs, None if i is None else coords[i][0])
+        res_x = AllocatedNum.alloc(
+            cs, None if bv is None else wit.lookup(bv, [c[0] for c in coords])
+        )
     with cs.ns("y"):
-        res_y = AllocatedNum.alloc(cs, None if i is None else coords[i][1])
+        res_y = AllocatedNum.alloc(
+            cs, None if bv is None else wit.lookup(bv, [c[1] for c in coords])
+        )
 
     x_coeffs = synth(3, [c[0] for c in coords])
     y_coeffs = synth(3, [c[1] for c in coords])
@@ -87,13 +86,12 @@ def lookup3_xy_with_conditional_negation(cs, bits: list[Boolean], coords: list[t
     assert len(bits) == 3
     assert len(coords) == 4
 
-    i = _bits_index(bits[:2])
+    bv = _bit_values(bits[:2])
     y_val = None
     b2 = bits[2].get_value()
-    if i is not None and b2 is not None:
-        y_val = coords[i][1] % R
-        if b2:
-            y_val = (-y_val) % R
+    if bv is not None and b2 is not None:
+        y_val = wit.lookup(bv, [c[1] % R for c in coords])
+        y_val = wit.select(b2, (-y_val) % R, y_val)
     with cs.ns("y"):
         y = AllocatedNum.alloc(cs, y_val)
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from masp_tpu.fields import SCALAR_MODULUS
+from masp_tpu.r1cs import wit
 from masp_tpu.r1cs.cs import (
     ONE, AssignmentMissing, DivisionByZero, LinearCombination, lc, lc_var,
 )
@@ -56,9 +57,7 @@ class AllocatedNum:
         return AllocatedNum(var, value)
 
     def assert_nonzero(self, cs):
-        if self.value is not None and self.value % R == 0:
-            raise DivisionByZero("assert_nonzero on zero")
-        inv = None if self.value is None else pow(self.value, -1, R)
+        inv = None if self.value is None else wit.inv(self.value)
         inv_var = cs.alloc("ephemeral inverse", inv)
         cs.enforce(
             "nonzero assertion constraint",
@@ -99,7 +98,7 @@ class AllocatedNum:
         a_bits_le = (
             None
             if self.value is None
-            else [(self.value >> i) & 1 == 1 for i in range(255)]
+            else [wit.bit(self.value, i) for i in range(255)]
         )
         char_minus_one_be = [((R - 1) >> i) & 1 == 1 for i in range(255)][::-1]
         a_be = None if a_bits_le is None else a_bits_le[::-1]
@@ -114,7 +113,9 @@ class AllocatedNum:
             a_bit = None if a_be is None else a_be[pos]
             found_one |= b
             if not found_one:
-                assert a_bit is None or not a_bit
+                # leading zero bits of a reduced (< r) value; with TapeVal the
+                # reduction guarantees this, so only assert on host bools
+                assert a_bit is None or isinstance(a_bit, wit.TapeVal) or not a_bit
                 continue
             if b:
                 with cs.ns(f"bit {i}"):
@@ -152,7 +153,7 @@ class AllocatedNum:
 
         c_val = None
         if cond_val is not None and a.value is not None and b.value is not None:
-            c_val = b.value if cond_val else a.value
+            c_val = wit.select(cond_val, b.value, a.value)
         c_var = cs.alloc("conditional reversal result 1", c_val)
         cs.enforce(
             "first conditional reversal",
@@ -164,7 +165,7 @@ class AllocatedNum:
 
         d_val = None
         if cond_val is not None and a.value is not None and b.value is not None:
-            d_val = a.value if cond_val else b.value
+            d_val = wit.select(cond_val, a.value, b.value)
         d_var = cs.alloc("conditional reversal result 2", d_val)
         cs.enforce(
             "second conditional reversal",
@@ -203,7 +204,7 @@ class Num:
         bv = bit.get_value()
         newval = None
         if self.value is not None and bv is not None:
-            newval = (self.value + (coeff if bv else 0)) % R
+            newval = (self.value + wit.select(bv, coeff, 0)) % R
         return Num(newval, self.lc + bit.lc(one_var, coeff))
 
     def get_lc(self, coeff: int = 1) -> LinearCombination:

@@ -6,6 +6,7 @@ one R1CS row — this is what keeps the in-circuit BLAKE2s at ~21k constraints.
 
 from __future__ import annotations
 
+from masp_tpu.r1cs import wit
 from masp_tpu.r1cs.cs import MultiEq, lc
 from masp_tpu.r1cs.gadgets.boolean import AllocatedBit, Boolean
 
@@ -34,8 +35,10 @@ class UInt32:
             if v is None:
                 value = None
                 break
-            if v:
-                value |= 1 << i
+            # bits are disjoint, so |= is plain addition (tape-friendly)
+            value = value + wit.as_bit(v) * (1 << i) if wit.is_tape(v) else (
+                value | (1 << i) if v else value
+            )
         return UInt32(list(bits), value)
 
     def into_bits(self) -> list[Boolean]:
@@ -106,7 +109,7 @@ class UInt32:
         i = 0
         mv = max_value
         while mv != 0:
-            bval = None if result_value is None else (result_value >> i) & 1 == 1
+            bval = None if result_value is None else wit.bit(result_value, i)
             with cs.ns(f"result bit {i}"):
                 b = AllocatedBit.alloc(cs, bval)
             result_lc.add_term(b.var, coeff)
