@@ -16,7 +16,7 @@ exists but numbers are unpublished; see BASELINE.md).
 
 Env:
   MASP_BENCH_CIRCUIT=spend|output|convert   (default spend)
-  MASP_BENCH_ITERS=N                (default 1; warmup prove always runs first)
+  MASP_BENCH_ITERS=N                (default 5; warmup prove always runs first)
 """
 
 import json
@@ -47,7 +47,7 @@ def main():
     from masp_tpu.utils.rng import XorShiftRng
 
     circuit_kind = os.environ.get("MASP_BENCH_CIRCUIT", "spend")
-    iters = int(os.environ.get("MASP_BENCH_ITERS", "1"))
+    iters = int(os.environ.get("MASP_BENCH_ITERS", "5"))
     rng = XorShiftRng.from_seed(bytes(range(16)))
 
     if circuit_kind == "spend":

@@ -7,6 +7,8 @@ final proof assembly with randomizers r, s.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,9 @@ MSM_C = 8
 # the round-1 sweet spot.
 MSM_LANES_G1 = 64
 MSM_LANES_G2 = 32
+# "sorted" = sorted-prefix MSM (ops/msm_sorted.py, round-2 design);
+# "lanes" = round-1 lane-private-bucket pippenger (ops/msm.py).
+MSM_IMPL = os.environ.get("MASP_MSM", "sorted")
 
 
 def _eval_lc_rows(rows, inputs, aux):
@@ -154,9 +159,24 @@ def _compute_h_coeffs(dom: Domain, a_vals, b_vals, c_vals):
 _JIT_CACHE: dict = {}
 
 
-def _msm_g1(points_affine_dev, digits, n):
-    """points_affine_dev: (X, Y) device arrays padded to lanes multiple."""
-    key = ("msm_g1", points_affine_dev[0].shape[0])
+def _msm_g1_async(points_dev, digits):
+    """Enqueue a G1 MSM; returns device arrays (no host sync).
+
+    points_dev: packed (N, 72) rows (sorted impl) or (X, Y, Z) coord
+    arrays (lanes impl), padded to the shared per-params size."""
+    if MSM_IMPL == "sorted":
+        from masp_tpu.ops import msm_sorted as MS
+
+        key = ("msm_g1_sorted", points_dev.shape[0])
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            def run(packed, d):
+                return MS.sorted_msm(W.G1Ops, packed, d, MSM_C)
+
+            fn = jax.jit(run)
+            _JIT_CACHE[key] = fn
+        return fn(points_dev, digits)
+    key = ("msm_g1", points_dev[0].shape[0])
     fn = _JIT_CACHE.get(key)
     if fn is None:
         def run(px, py, pz, d):
@@ -164,15 +184,23 @@ def _msm_g1(points_affine_dev, digits, n):
 
         fn = jax.jit(run)
         _JIT_CACHE[key] = fn
-    px, py, pz = points_affine_dev
-    out = fn(px, py, pz, digits)
-    from masp_tpu.ops.weierstrass_jax import decode_g1_points
-
-    return decode_g1_points(*(np.asarray(x)[None] for x in out))[0]
+    return fn(*points_dev, digits)
 
 
-def _msm_g2(points_affine_dev, digits):
-    key = ("msm_g2", points_affine_dev[0].shape[0])
+def _msm_g2_async(points_dev, digits):
+    if MSM_IMPL == "sorted":
+        from masp_tpu.ops import msm_sorted as MS
+
+        key = ("msm_g2_sorted", points_dev.shape[0])
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            def run(packed, d):
+                return MS.sorted_msm(W.G2Ops, packed, d, MSM_C)
+
+            fn = jax.jit(run)
+            _JIT_CACHE[key] = fn
+        return fn(points_dev, digits)
+    key = ("msm_g2", points_dev[0].shape[0])
     fn = _JIT_CACHE.get(key)
     if fn is None:
         def run(px, py, pz, d):
@@ -180,11 +208,27 @@ def _msm_g2(points_affine_dev, digits):
 
         fn = jax.jit(run)
         _JIT_CACHE[key] = fn
-    px, py, pz = points_affine_dev
-    out = fn(px, py, pz, digits)
+    return fn(*points_dev, digits)
+
+
+def _fetch_g1(out):
+    from masp_tpu.ops.weierstrass_jax import decode_g1_points
+
+    return decode_g1_points(*(np.asarray(x)[None] for x in out))[0]
+
+
+def _fetch_g2(out):
     from masp_tpu.ops.weierstrass_jax import decode_g2_points
 
     return decode_g2_points(*(np.asarray(x)[None] for x in out))[0]
+
+
+def _msm_g1(points_dev, digits, n):
+    return _fetch_g1(_msm_g1_async(points_dev, digits))
+
+
+def _msm_g2(points_dev, digits):
+    return _fetch_g2(_msm_g2_async(points_dev, digits))
 
 
 def _pad_to(n, mult):
@@ -203,15 +247,40 @@ def _encode_g2_padded(points, lanes):
     return tuple(jnp.asarray(x) for x in W.encode_g2_points(pts))
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def _dev_n(points_dev) -> int:
+    """Padded point count of a device query in either MSM layout."""
+    return points_dev.shape[0] if MSM_IMPL == "sorted" else points_dev[0].shape[0]
+
+
 def prepare_device_params(params: Parameters) -> None:
     """Encode all proving queries once onto the device (cached in
     params.device). All G1 queries pad to ONE shared size so a single
-    compiled MSM program serves h/l/a/b_g1."""
+    compiled MSM program serves h/l/a/b_g1 (power of two for the sorted
+    MSM's prefix ladder; packed [X|Y|Z] rows so the per-window reorder is
+    one row-gather per point)."""
     if "h" in params.device:
         return
     n_max = max(len(params.h), len(params.l), len(params.a), len(params.b_g1))
-    n_pad = _pad_to(n_max, MSM_LANES_G1)
-    params.device["n_g1"] = n_pad
+    if MSM_IMPL == "sorted":
+        from masp_tpu.ops import msm_sorted as MS
+
+        n_pad = _next_pow2(n_max)
+        params.device["n_g1"] = n_pad
+        for name, pts in (("h", params.h), ("l", params.l), ("a", params.a), ("b_g1", params.b_g1)):
+            pts = list(pts) + [G1.identity()] * (n_pad - len(pts))
+            coords = tuple(jnp.asarray(x) for x in W.encode_g1_points(pts))
+            params.device[name] = jax.device_put(MS.pack_points(coords))
+        n2_pad = _next_pow2(len(params.b_g2))
+        pts2 = list(params.b_g2) + [G2.identity()] * (n2_pad - len(params.b_g2))
+        coords2 = tuple(jnp.asarray(x) for x in W.encode_g2_points(pts2))
+        params.device["b_g2"] = jax.device_put(MS.pack_points(coords2))
+        return
+    params.device["n_g1"] = _pad_to(n_max, MSM_LANES_G1)
+    n_pad = params.device["n_g1"]
     for name, pts in (("h", params.h), ("l", params.l), ("a", params.a), ("b_g1", params.b_g1)):
         pts = list(pts) + [G1.identity()] * (n_pad - len(pts))
         params.device[name] = tuple(jnp.asarray(x) for x in W.encode_g1_points(pts))
@@ -268,11 +337,11 @@ def create_proof_from_assembly(cs, params: Parameters, r: int, s: int) -> Proof:
 
     # digits for h on device (canonical bytes)
     h_digits_full = M.fr_digits_device(h_coeffs[: m - 1])
-    n_h_padded = params.device["h"][0].shape[0]
+    n_h_padded = _dev_n(params.device["h"])
     h_digits = jnp.zeros((n_h_padded, 32), dtype=jnp.int32)
     h_digits = h_digits.at[: m - 1].set(h_digits_full)
 
-    h_answer = _msm_g1(params.device["h"], h_digits, m - 1)
+    h_dev = _msm_g1_async(params.device["h"], h_digits)
 
     # density-filtered exponent vectors (structure static per circuit: cache)
     dkey = ("density", cs.num_constraints, cs.num_inputs, cs.num_aux)
@@ -287,27 +356,30 @@ def create_proof_from_assembly(cs, params: Parameters, r: int, s: int) -> Proof:
     b_exps_u64 = full_u64[b_density]
     assert a_exps_u64.shape[0] == len(params.a)
     assert b_exps_u64.shape[0] == len(params.b_g1)
-    n_aux = aux_u64.shape[0]
 
-    l_answer = _msm_g1(
+    # enqueue all five MSMs back-to-back (async dispatch), fetch once at
+    # the end — keeps the device queue full instead of a host sync per MSM
+    l_dev = _msm_g1_async(
         params.device["l"],
-        _digits_from_u64(aux_u64, params.device["l"][0].shape[0]),
-        n_aux,
+        _digits_from_u64(aux_u64, _dev_n(params.device["l"])),
     )
-    a_answer = _msm_g1(
+    a_dev = _msm_g1_async(
         params.device["a"],
-        _digits_from_u64(a_exps_u64, params.device["a"][0].shape[0]),
-        a_exps_u64.shape[0],
+        _digits_from_u64(a_exps_u64, _dev_n(params.device["a"])),
     )
-    b1_answer = _msm_g1(
+    b1_dev = _msm_g1_async(
         params.device["b_g1"],
-        _digits_from_u64(b_exps_u64, params.device["b_g1"][0].shape[0]),
-        b_exps_u64.shape[0],
+        _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g1"])),
     )
-    b2_answer = _msm_g2(
+    b2_dev = _msm_g2_async(
         params.device["b_g2"],
-        _digits_from_u64(b_exps_u64, params.device["b_g2"][0].shape[0]),
+        _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g2"])),
     )
+    h_answer = _fetch_g1(h_dev)
+    l_answer = _fetch_g1(l_dev)
+    a_answer = _fetch_g1(a_dev)
+    b1_answer = _fetch_g1(b1_dev)
+    b2_answer = _fetch_g2(b2_dev)
 
     vk = params.vk
     g_a = vk.delta_g1 * r + vk.alpha_g1 + a_answer

@@ -1,0 +1,175 @@
+"""Sorted-prefix Pippenger MSM on TPU.
+
+Replaces the round-1 lane-private-bucket main loop (ops/msm.py
+pippenger_msm), whose cost was dominated by per-step bucket-state
+gather/scatter traffic (~2N*W gathered rows per MSM). This design, per
+c-bit window:
+
+1.  sort point indices by digit (lax.sort_key_val — measured ~per-mil of
+    the MSM on v5e even for all windows of a 2^17 MSM),
+2.  gather the points into sorted order ONCE, as packed [X|Y|Z] rows so
+    the row count is N (TPU gathers cost per row, not per byte),
+3.  build an UNSEGMENTED dyadic prefix tree over the sorted points with a
+    halving ladder of complete adds (N-1 adds; every level a big batched
+    kernel, no serial step loop),
+4.  read each bucket's sum as a difference of two exclusive-prefix
+    queries at the bucket boundaries (searchsorted): prefix(p) is the sum
+    of <= log2(N)+1 tree nodes selected by the bits of p, so segmented
+    reduction costs B*(log2(N)+1) adds instead of any scatter,
+5.  weighted bucket reduction + Horner over windows (shared with the
+    fixed-base path).
+
+Total group adds per window: N + B*(log2 N + 2) — within a few percent of
+the information-theoretic N. Group subtraction is an add of the negated
+point (complete formulas; projective identity handled for free).
+
+Semantics equivalent to bellperson's multiexp core (reference
+masp_proofs -> bellperson multiexp, SURVEY.md §2.4/§3.1 HOT list).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from masp_tpu.ops import weierstrass_jax as W
+from masp_tpu.ops.msm import _traced_identity
+
+
+def pack_points(points_xyz):
+    """3 coord arrays (N, ...) -> (N, 3*prod(cshape)) u32 rows."""
+    n = points_xyz[0].shape[0]
+    return jnp.concatenate([c.reshape(n, -1) for c in points_xyz], axis=1)
+
+
+def _unpack(fops, rows):
+    cshape = fops.coord_shape
+    k = int(np.prod(cshape))
+    n = rows.shape[0]
+    return tuple(
+        rows[:, i * k : (i + 1) * k].reshape((n,) + cshape) for i in range(3)
+    )
+
+
+def _g_neg(fops, p):
+    from masp_tpu.ops import field_jax as F
+    from masp_tpu.ops.field_jax import FQ
+
+    X, Y, Z = p
+    if len(fops.coord_shape) == 1:
+        return (X, F.neg(FQ, Y), Z)
+    ny = jnp.stack(
+        [F.neg(FQ, Y[..., 0, :]), F.neg(FQ, Y[..., 1, :])], axis=-2
+    )
+    return (X, ny, Z)
+
+
+def bucket_reduce_horner(fops, buckets, c: int, like):
+    """(W, B, ...) bucket sums -> single projective point (no batch axis).
+
+    window[w] = sum_k k * bucket[w, k] via the running-suffix trick, then
+    Horner combine over windows with c doublings between them."""
+    bx, by, bz = buckets
+    n_windows = bx.shape[0]
+    B = bx.shape[1]
+    ident_w = _traced_identity(fops, like, (n_windows,))
+
+    def bucket_body(j, carry):
+        running, acc = carry
+        k = B - 1 - j  # k from B-1 down to 1
+        bucket = (bx[:, k], by[:, k], bz[:, k])
+        running = W.g_add(fops, running, bucket)
+        acc = W.g_add(fops, acc, running)
+        return (running, acc)
+
+    _, window_sums = jax.lax.fori_loop(0, B - 1, bucket_body, (ident_w, ident_w))
+
+    ident_1 = _traced_identity(fops, like, (1,))
+
+    def window_body(j, acc):
+        w = n_windows - 1 - j
+        acc = W.g_add(
+            fops,
+            acc,
+            tuple(jax.lax.dynamic_slice_in_dim(s, w, 1, 0) for s in window_sums),
+        )
+
+        def dbl_body(_i, a):
+            return W.g_add(fops, a, a)
+
+        doubled = jax.lax.fori_loop(0, c, dbl_body, acc)
+        # don't double after the last (lowest) window
+        return W.point_select(jnp.asarray([j < n_windows - 1]), doubled, acc)
+
+    acc = jax.lax.fori_loop(0, n_windows, window_body, ident_1)
+    return tuple(s[0] for s in acc)
+
+
+def sorted_msm(fops, points_packed, digits, c: int):
+    """sum_i [s_i] P_i.
+
+    points_packed: (N, 3*prod(cshape)) u32 packed projective rows
+    (pack_points); digits: (N, W) int32 c-bit windows. N must be a power
+    of two (pad with identity rows + zero digits). Returns one projective
+    point (coords with no batch axis).
+    """
+    N = points_packed.shape[0]
+    n_windows = digits.shape[1]
+    B = 1 << c
+    levels = (N - 1).bit_length()
+    assert N == 1 << levels, "pad N to a power of two"
+
+    keys = digits.T.astype(jnp.int32)  # (W, N)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    sorted_keys, perm = jax.vmap(lambda k: jax.lax.sort_key_val(k, iota))(keys)
+    # bounds[w, k] = #{digits[:, w] <= k}  (exclusive prefix boundary)
+    kvals = jnp.arange(B, dtype=jnp.int32)
+    bounds = jax.vmap(lambda sk: jnp.searchsorted(sk, kvals, side="right"))(
+        sorted_keys
+    ).astype(jnp.int32)
+
+    # coord-shaped traced array for in-graph identity construction
+    like = _unpack(fops, points_packed)[0]
+
+    def win_body(_, inp):
+        perm_w, bounds_w = inp
+        rows = jnp.take(points_packed, perm_w, axis=0)  # (N, rowlen)
+        cur = _unpack(fops, rows)
+
+        # up-sweep: nodes[l][j] = sum of sorted points [j*2^l, (j+1)*2^l)
+        nodes = [cur]
+        for _l in range(levels):
+            n_half = cur[0].shape[0] // 2
+            paired = [
+                cc.reshape((n_half, 2) + cc.shape[1:]) for cc in cur
+            ]
+            e = tuple(pc[:, 0] for pc in paired)
+            o = tuple(pc[:, 1] for pc in paired)
+            cur = W.g_add(fops, e, o)
+            nodes.append(cur)
+
+        # exclusive-prefix queries at the B bucket boundaries
+        acc = _traced_identity(fops, like, (B,))
+        for l in range(levels + 1):
+            idx = 2 * (bounds_w >> (l + 1))
+            bit = (bounds_w >> l) & 1
+            nd = nodes[l]
+            gath = tuple(jnp.take(cc, idx, axis=0, mode="clip") for cc in nd)
+            added = W.g_add(fops, acc, gath)
+            acc = W.point_select(bit, added, acc)
+
+        # bucket k sum = Q[k] - Q[k-1]; Q[-1] = identity
+        ident_1 = _traced_identity(fops, like, (1,))
+        qprev = tuple(
+            jnp.concatenate([i1, cc[:-1]], axis=0)
+            for i1, cc in zip(ident_1, acc)
+        )
+        bucket = W.g_add(fops, acc, _g_neg(fops, qprev))
+        return 0, bucket
+
+    _, buckets = jax.lax.scan(win_body, 0, (perm, bounds))  # (W, B, ...)
+    return bucket_reduce_horner(fops, buckets, c, like)
+
+
+__all__ = ["sorted_msm", "pack_points", "bucket_reduce_horner"]
