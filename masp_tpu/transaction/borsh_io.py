@@ -343,6 +343,52 @@ def _to_bytes(write_fn, value) -> bytes:
     return w.getvalue()
 
 
+# --- delegating borsh forms --------------------------------------------------
+
+
+def value_sum_to_borsh(vs: ValueSum) -> bytes:
+    """ValueSum BorshSerialize (amount.rs:203-216): identical to the legacy
+    Vector write — CompactSize count + (identifier, value-LE) pairs in
+    BTreeMap (identifier) order."""
+    return vs.to_bytes()
+
+
+def value_sum_from_borsh(data: bytes, vtype=I128) -> ValueSum:
+    """ValueSum BorshDeserialize (amount.rs:218-231). Unlike ValueSum::read,
+    the borsh path reads AssetType via its derived impl — raw identifier
+    bytes with NO generator-validity check — so this accepts identifiers
+    that ValueSum.read would reject."""
+    from masp_tpu.utils.encoding import read_vector
+
+    r = Reader(data)
+    nbytes = vtype.bits // 8
+
+    def read_item(rr):
+        ident = rr.read(32)
+        v = int.from_bytes(rr.read(nbytes), "little", signed=vtype.signed)
+        return (AssetType(ident, None), v)
+
+    items = read_vector(r, read_item)
+    out = ValueSum.zero(vtype)
+    for atype, v in items:
+        out = out + ValueSum.from_pair(atype, v, vtype)
+    return out
+
+
+def transaction_to_borsh(tx) -> bytes:
+    """Transaction BorshSerialize == its MASPv5 wire write
+    (transaction.rs:352-357)."""
+    return tx.to_bytes()
+
+
+def transaction_from_borsh(data: bytes):
+    """Transaction BorshDeserialize == Transaction::read under the MASP
+    consensus branch (transaction.rs:358-364)."""
+    from masp_tpu.transaction.transaction import Transaction
+
+    return Transaction.read(Reader(data))
+
+
 def stored_build_params_to_bytes(p: StoredBuildParams) -> bytes:
     return _to_bytes(write_stored_build_params, p)
 
@@ -375,4 +421,6 @@ __all__ = [
     "write_transparent_builder", "read_transparent_builder",
     "write_builder", "read_builder",
     "builder_to_bytes", "builder_from_bytes",
+    "value_sum_to_borsh", "value_sum_from_borsh",
+    "transaction_to_borsh", "transaction_from_borsh",
 ]
