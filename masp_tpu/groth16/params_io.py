@@ -111,15 +111,93 @@ def load_parameters(
     )
 
 
-def download_masp_parameters(timeout=None):
-    """The reference downloads ~90MB of MPC parameters from anoma/masp-mpc
-    (lib.rs:121-141). This build environment has zero egress; use
-    load_parameters on pre-fetched files, or generate test parameters with
-    masp_tpu.groth16.generator.generate_random_parameters."""
-    raise ParameterError(
-        "no network egress in this environment; place parameter files in "
-        f"{default_params_folder()} and call load_parameters()"
-    )
+def fetch_params(
+    name: str,
+    expected_hash: str,
+    expected_bytes: int,
+    timeout=None,
+    params_dir: pathlib.Path | None = None,
+    opener=None,
+) -> pathlib.Path:
+    """Download one parameter file if missing, and always verify size and
+    hash (lib.rs:143-209 fetch_params). The download streams through
+    HashReader to disk in 1 MiB chunks (never whole-file in memory,
+    lib.rs:216-262); a failed or corrupted download is deleted.
+
+    ``opener`` overrides the HTTP opener (tests; environments without
+    egress can point it at a local mirror)."""
+    from masp_tpu.utils.downloadreader import ResponseLazyReader, urllib_opener
+    from masp_tpu.utils.hashreader import HashReader
+
+    params_dir = params_dir or default_params_folder()
+    params_dir.mkdir(parents=True, exist_ok=True)
+    path = params_dir / name
+
+    if not path.exists():
+        if opener is None:
+            opener = urllib_opener(DOWNLOAD_URL + name, timeout=timeout)
+        reader = HashReader(ResponseLazyReader(opener))
+        try:
+            with open(path, "wb") as out:
+                # take(expected_bytes) semantics: never read past the
+                # expected size (DoS guard, lib.rs:247-248)
+                while reader.byte_count < expected_bytes:
+                    n = min(1024 * 1024, expected_bytes - reader.byte_count)
+                    chunk = reader.read(n)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            if reader.byte_count != expected_bytes:
+                raise ParameterError(
+                    f"{name}: downloaded {reader.byte_count} bytes, "
+                    f"expected {expected_bytes}"
+                )
+            digest = reader.into_hash()
+            if digest != expected_hash:
+                raise ParameterError(
+                    f"{name}: downloaded file hash {digest} does not match "
+                    f"expected {expected_hash}"
+                )
+        except BaseException:
+            path.unlink(missing_ok=True)  # never leave partial files behind
+            raise
+        return path
+
+    # existing file: verify size first (cheap), then streaming hash
+    verify_file_size(path, expected_bytes, name)
+    with open(path, "rb") as f:
+        reader = HashReader(f)
+        while reader.read(1024 * 1024):
+            pass
+    digest = reader.into_hash()
+    if digest != expected_hash:
+        raise ParameterError(
+            f"{name}: file hash {digest} does not match expected "
+            f"{expected_hash}; clean your MASP parameters directory"
+        )
+    return path
+
+
+def download_masp_parameters(timeout=None, params_dir=None, opener=None):
+    """Download the three MPC parameter files if needed and verify them
+    (lib.rs:121-141). Returns the three paths (spend, output, convert).
+
+    Note: this build environment has zero egress — pass ``opener`` (a
+    ``name -> () -> file-like`` factory) for a local mirror, or place
+    pre-fetched files in ``default_params_folder()``."""
+    paths = []
+    for name, h, b in (
+        (MASP_SPEND_NAME, MASP_SPEND_HASH, MASP_SPEND_BYTES),
+        (MASP_OUTPUT_NAME, MASP_OUTPUT_HASH, MASP_OUTPUT_BYTES),
+        (MASP_CONVERT_NAME, MASP_CONVERT_HASH, MASP_CONVERT_BYTES),
+    ):
+        paths.append(
+            fetch_params(
+                name, h, b, timeout=timeout, params_dir=params_dir,
+                opener=None if opener is None else opener(name),
+            )
+        )
+    return tuple(paths)
 
 
 # --- generated-parameter cache (test/bench path) ---------------------------
