@@ -104,7 +104,36 @@ def extract_note_encryption_vectors():
         print("  fields:", sorted(vectors[0].keys()))
 
 
+
+
+def extract_zip32_vectors():
+    """ZIP-32 test vectors (zip32/sapling.rs:1372-2178, from
+    zcash-test-vectors sapling_zip32.py with MASP personalizations):
+    seed = bytes(range(32)); rows for [m, m/1, m/1/2h, m/1/2hv, m/1/2hv/3]."""
+    src = (REF / "masp_primitives/src/zip32/sapling.rs").read_text()
+    start = src.index("let test_vectors = vec![")
+    block = src[start : src.index("];", start)]
+    field_re = re.compile(
+        r"(\w+):\s*(None|Some\(\s*\[(.*?)\]\s*\)|\[(.*?)\])\s*,\s*\n", re.S
+    )
+    vectors = []
+    for part in block.split("TestVector {")[1:]:
+        tv = {}
+        for m in field_re.finditer(part):
+            name, whole, someb, plainb = m.groups()
+            if whole == "None":
+                tv[name] = None
+            else:
+                body = someb if someb is not None else plainb
+                vals = [int(x, 0) for x in re.findall(r"0x[0-9a-fA-F]+|\b\d+\b", body)]
+                tv[name] = bytes(vals).hex()
+        vectors.append(tv)
+    assert len(vectors) == 5 and all(len(v) == 23 for v in vectors)
+    (OUT / "zip32_vectors.json").write_text(json.dumps(vectors, indent=1))
+
+
 if __name__ == "__main__":
     extract_generators()
     extract_pedersen_vectors()
     extract_note_encryption_vectors()
+    extract_zip32_vectors()
