@@ -75,6 +75,23 @@ class LocalTxProver(TxProver):
         )
         return proof.write(), cv
 
+    def prove_jobs(self, ctx, spend_jobs, convert_jobs, output_jobs, rng=None):
+        """Batch TxProver entry (SaplingBuilder.build uses this when
+        available): one pipelined device stream per circuit kind instead
+        of a proof per host round-trip. Results mirror the singular
+        methods, proofs serialized to GROTH_PROOF_SIZE bytes."""
+        spends, converts, outputs = ctx.prove_jobs(
+            spend_jobs, convert_jobs, output_jobs,
+            self.spend_params, self.spend_vk,
+            self.convert_params, self.convert_vk,
+            self.output_params, rng,
+        )
+        return (
+            [(p.write(), cv, rk) for p, cv, rk in spends],
+            [(p.write(), cv) for p, cv in converts],
+            [(p.write(), cv) for p, cv in outputs],
+        )
+
     def binding_sig(self, ctx, amount, sighash, rng=None):
         return ctx.binding_sig(amount, sighash, rng)
 

@@ -24,7 +24,10 @@ from masp_tpu.ops.field_jax import FR
 from masp_tpu.r1cs.cs import ProvingAssembly
 from masp_tpu.utils.rng import random_scalar
 
-MSM_C = 8
+# window width: 8 on TPU (bucket phases are cheap there); 4 halves the
+# serial bucket-reduction length for CPU test/dryrun runs (B=16 vs 256)
+MSM_C = int(os.environ.get("MASP_MSM_C", "8"))
+assert MSM_C in (4, 8), "digit extraction supports c=4 or c=8"
 # lanes tuned empirically on v5e: 256 lanes cuts main-loop steps but the
 # sequential lane-combine then dominates (Output got 30% slower); 64 is
 # the round-1 sweet spot.
@@ -33,6 +36,10 @@ MSM_LANES_G2 = 32
 # "sorted" = sorted-prefix MSM (ops/msm_sorted.py, round-2 design);
 # "lanes" = round-1 lane-private-bucket pippenger (ops/msm.py).
 MSM_IMPL = os.environ.get("MASP_MSM", "sorted")
+# stack the four G1 queries into one vmapped MSM program: measured 6x
+# SLOWER on v5e (vmapped per-window gather lowers poorly) — keep the
+# separate async dispatches; flag retained for re-evaluation
+MSM_STACK = os.environ.get("MASP_MSM_STACK", "0") == "1"
 
 
 def _eval_lc_rows(rows, inputs, aux):
@@ -96,11 +103,26 @@ def _assignment_u64(cs) -> np.ndarray:
 
 
 def _digits_from_u64(arr: np.ndarray, n_padded: int) -> np.ndarray:
-    """(n, 4) u64 LE scalars -> (n_padded, 32) int32 byte digits (c=8)."""
+    """(n, 4) u64 LE scalars -> (n_padded, 256/c) int32 c-bit digits."""
     n = arr.shape[0]
-    out = np.zeros((n_padded, 32), dtype=np.int32)
-    out[:n] = np.ascontiguousarray(arr).view(np.uint8).reshape(n, 32)
+    b = np.ascontiguousarray(arr).view(np.uint8).reshape(n, 32)
+    if MSM_C == 8:
+        out = np.zeros((n_padded, 32), dtype=np.int32)
+        out[:n] = b
+        return out
+    out = np.zeros((n_padded, 64), dtype=np.int32)
+    out[:n, 0::2] = b & 0xF
+    out[:n, 1::2] = b >> 4
     return out
+
+
+def _h_digits_device(h_bytes):
+    """(n, 32) device byte digits -> (n, 256/c) c-bit digits (device)."""
+    if MSM_C == 8:
+        return h_bytes
+    lo = h_bytes & 0xF
+    hi = h_bytes >> 4
+    return jnp.stack([lo, hi], axis=-1).reshape(h_bytes.shape[0], 64)
 
 
 def _compute_abc_limbs(cs, m):
@@ -130,10 +152,25 @@ def _compute_abc_limbs(cs, m):
     ]
 
 
-def _compute_h_coeffs(dom: Domain, a_vals, b_vals, c_vals):
+def _compute_h_coeffs(dom: Domain, a_vals, b_vals, c_vals, mesh=None):
     """Device: h(x) coefficients from per-constraint evaluations.
 
-    a_vals/b_vals/c_vals: (m, L) Montgomery limb arrays (zero-padded)."""
+    a_vals/b_vals/c_vals: (m, L) CANONICAL limb arrays (zero-padded);
+    Montgomery conversion happens on device. With a mesh, every NTT's
+    element axis is sharded over the mesh's "msm" axis
+    (parallel/mesh.py sharded_h_pipeline)."""
+    if mesh is not None:
+        from masp_tpu.parallel import mesh as PM
+
+        key = ("h_pipeline_mesh", dom.m, tuple(sorted(mesh.shape.items())))
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            def run(a, b, c):
+                return PM.sharded_h_pipeline(mesh, dom, a, b, c, axis="msm")
+
+            fn = jax.jit(run)
+            _JIT_CACHE[key] = fn
+        return fn(a_vals, b_vals, c_vals)
 
     def pipeline(a, b, c):
         # inputs are canonical limbs; convert to Montgomery on device
@@ -159,11 +196,28 @@ def _compute_h_coeffs(dom: Domain, a_vals, b_vals, c_vals):
 _JIT_CACHE: dict = {}
 
 
-def _msm_g1_async(points_dev, digits):
+def _mesh_key(mesh):
+    return None if mesh is None else tuple(sorted(mesh.shape.items()))
+
+
+def _msm_g1_async(points_dev, digits, mesh=None):
     """Enqueue a G1 MSM; returns device arrays (no host sync).
 
     points_dev: packed (N, 72) rows (sorted impl) or (X, Y, Z) coord
-    arrays (lanes impl), padded to the shared per-params size."""
+    arrays (lanes impl), padded to the shared per-params size. With a
+    mesh, the point axis is sharded over its "msm" axis."""
+    if mesh is not None:
+        from masp_tpu.parallel import mesh as PM
+
+        key = ("msm_g1_mesh", points_dev.shape[0], _mesh_key(mesh))
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            def run(packed, d):
+                return PM.sharded_sorted_msm(mesh, W.G1Ops, packed, d, MSM_C, axis="msm")
+
+            fn = jax.jit(run)
+            _JIT_CACHE[key] = fn
+        return fn(points_dev, digits)
     if MSM_IMPL == "sorted":
         from masp_tpu.ops import msm_sorted as MS
 
@@ -187,7 +241,19 @@ def _msm_g1_async(points_dev, digits):
     return fn(*points_dev, digits)
 
 
-def _msm_g2_async(points_dev, digits):
+def _msm_g2_async(points_dev, digits, mesh=None):
+    if mesh is not None:
+        from masp_tpu.parallel import mesh as PM
+
+        key = ("msm_g2_mesh", points_dev.shape[0], _mesh_key(mesh))
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            def run(packed, d):
+                return PM.sharded_sorted_msm(mesh, W.G2Ops, packed, d, MSM_C, axis="msm")
+
+            fn = jax.jit(run)
+            _JIT_CACHE[key] = fn
+        return fn(points_dev, digits)
     if MSM_IMPL == "sorted":
         from masp_tpu.ops import msm_sorted as MS
 
@@ -209,6 +275,29 @@ def _msm_g2_async(points_dev, digits):
         fn = jax.jit(run)
         _JIT_CACHE[key] = fn
     return fn(*points_dev, digits)
+
+
+def _msm_g1_batch_async(points_stack, digits_stack):
+    """Q same-size G1 MSMs in one vmapped program (no host sync).
+
+    points_stack: (Q, N, 72) packed rows; digits_stack: (Q, N, 32)."""
+    from masp_tpu.ops import msm_sorted as MS
+
+    key = ("msm_g1_sorted_batch", points_stack.shape[0], points_stack.shape[1])
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        def run(pk, d):
+            return MS.sorted_msm_batch(W.G1Ops, pk, d, MSM_C)
+
+        fn = jax.jit(run)
+        _JIT_CACHE[key] = fn
+    return fn(points_stack, digits_stack)
+
+
+def _fetch_g1_batch(out):
+    from masp_tpu.ops.weierstrass_jax import decode_g1_points
+
+    return decode_g1_points(*(np.asarray(x) for x in out))
 
 
 def _fetch_g1(out):
@@ -256,28 +345,51 @@ def _dev_n(points_dev) -> int:
     return points_dev.shape[0] if MSM_IMPL == "sorted" else points_dev[0].shape[0]
 
 
-def prepare_device_params(params: Parameters) -> None:
+def prepare_device_params(params: Parameters, mesh=None) -> None:
     """Encode all proving queries once onto the device (cached in
     params.device). All G1 queries pad to ONE shared size so a single
     compiled MSM program serves h/l/a/b_g1 (power of two for the sorted
     MSM's prefix ladder; packed [X|Y|Z] rows so the per-window reorder is
-    one row-gather per point)."""
+    one row-gather per point). With a mesh, rows are placed sharded over
+    its "msm" axis so the sharded MSM reads local shards."""
+    if params.device.get("mesh") != _mesh_key(mesh) and "h" in params.device:
+        params.device.clear()
     if "h" in params.device:
         return
+    params.device["mesh"] = _mesh_key(mesh)
+
+    def put(rows):
+        if mesh is None:
+            return jax.device_put(rows)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(rows, NamedSharding(mesh, P("msm")))
+
     n_max = max(len(params.h), len(params.l), len(params.a), len(params.b_g1))
-    if MSM_IMPL == "sorted":
+    if MSM_IMPL == "sorted" or mesh is not None:
         from masp_tpu.ops import msm_sorted as MS
 
         n_pad = _next_pow2(n_max)
         params.device["n_g1"] = n_pad
+        rows = []
         for name, pts in (("h", params.h), ("l", params.l), ("a", params.a), ("b_g1", params.b_g1)):
             pts = list(pts) + [G1.identity()] * (n_pad - len(pts))
-            coords = tuple(jnp.asarray(x) for x in W.encode_g1_points(pts))
-            params.device[name] = jax.device_put(MS.pack_points(coords))
+            coords = tuple(np.asarray(x) for x in W.encode_g1_points(pts))
+            if mesh is None and MSM_STACK:
+                rows.append(np.concatenate([c.reshape(n_pad, -1) for c in coords], axis=1))
+            else:
+                params.device[name] = put(MS.pack_points(coords))
+        if mesh is None and MSM_STACK:
+            # one (4, N, 72) stack: the four G1 MSMs as a single vmapped
+            # program (measured slower on v5e — see MSM_STACK above)
+            params.device["g1_stack"] = jax.device_put(np.stack(rows))
+            params.device["g1_index"] = {"h": 0, "l": 1, "a": 2, "b_g1": 3}
         n2_pad = _next_pow2(len(params.b_g2))
+        if mesh is not None:
+            n2_pad = max(n2_pad, mesh.shape["msm"])
         pts2 = list(params.b_g2) + [G2.identity()] * (n2_pad - len(params.b_g2))
         coords2 = tuple(jnp.asarray(x) for x in W.encode_g2_points(pts2))
-        params.device["b_g2"] = jax.device_put(MS.pack_points(coords2))
+        params.device["b_g2"] = put(MS.pack_points(coords2))
         return
     params.device["n_g1"] = _pad_to(n_max, MSM_LANES_G1)
     n_pad = params.device["n_g1"]
@@ -320,8 +432,14 @@ def create_proof(circuit, params: Parameters, r: int, s: int) -> Proof:
     return create_proof_from_assembly(cs, params, r, s)
 
 
-def create_proof_from_assembly(cs, params: Parameters, r: int, s: int) -> Proof:
-    prepare_device_params(params)
+def create_proof_from_assembly(
+    cs, params: Parameters, r: int, s: int, mesh=None
+) -> Proof:
+    """Groth16 prove. With a mesh (jax.sharding.Mesh with an "msm" axis),
+    the five MSMs run point-sharded and every NTT element-sharded across
+    the axis — the TPU-pod replacement for bellperson's in-node rayon
+    parallelism (SURVEY.md §2.4/§5.8)."""
+    prepare_device_params(params, mesh=mesh)
 
     m = 1 << (cs.num_constraints - 1).bit_length()
     dom = Domain(m)
@@ -330,18 +448,21 @@ def create_proof_from_assembly(cs, params: Parameters, r: int, s: int) -> Proof:
     # conversion happens on device in the h pipeline)
     az, bz, cz = _compute_abc_limbs(cs, m)
 
-    h_coeffs = _compute_h_coeffs(dom, az, bz, cz)  # (m, L) Montgomery
+    h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)  # (m, L) Montgomery
     # bellman truncates the last coefficient (degree <= m-2)
     h_n = len(params.h)
     assert h_n == m - 1, (h_n, m)
 
-    # digits for h on device (canonical bytes)
-    h_digits_full = M.fr_digits_device(h_coeffs[: m - 1])
-    n_h_padded = _dev_n(params.device["h"])
-    h_digits = jnp.zeros((n_h_padded, 32), dtype=jnp.int32)
+    stacked = "g1_stack" in params.device
+    n_g1 = params.device["n_g1"] if stacked else _dev_n(params.device["h"])
+
+    # digits for h on device (canonical bytes -> c-bit windows)
+    h_digits_full = _h_digits_device(M.fr_digits_device(h_coeffs[: m - 1]))
+    h_digits = jnp.zeros((n_g1, 256 // MSM_C), dtype=jnp.int32)
     h_digits = h_digits.at[: m - 1].set(h_digits_full)
 
-    h_dev = _msm_g1_async(params.device["h"], h_digits)
+    if not stacked:
+        h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
 
     # density-filtered exponent vectors (structure static per circuit: cache)
     dkey = ("density", cs.num_constraints, cs.num_inputs, cs.num_aux)
@@ -357,29 +478,57 @@ def create_proof_from_assembly(cs, params: Parameters, r: int, s: int) -> Proof:
     assert a_exps_u64.shape[0] == len(params.a)
     assert b_exps_u64.shape[0] == len(params.b_g1)
 
-    # enqueue all five MSMs back-to-back (async dispatch), fetch once at
-    # the end — keeps the device queue full instead of a host sync per MSM
-    l_dev = _msm_g1_async(
-        params.device["l"],
-        _digits_from_u64(aux_u64, _dev_n(params.device["l"])),
-    )
-    a_dev = _msm_g1_async(
-        params.device["a"],
-        _digits_from_u64(a_exps_u64, _dev_n(params.device["a"])),
-    )
-    b1_dev = _msm_g1_async(
-        params.device["b_g1"],
-        _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g1"])),
-    )
-    b2_dev = _msm_g2_async(
-        params.device["b_g2"],
-        _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g2"])),
-    )
-    h_answer = _fetch_g1(h_dev)
-    l_answer = _fetch_g1(l_dev)
-    a_answer = _fetch_g1(a_dev)
-    b1_answer = _fetch_g1(b1_dev)
-    b2_answer = _fetch_g2(b2_dev)
+    if stacked:
+        # the four G1 MSMs as ONE vmapped program over the (4, N, 72)
+        # query stack; G2 enqueued behind it, one fetch at the end
+        host3 = np.stack([
+            _digits_from_u64(aux_u64, n_g1),
+            _digits_from_u64(a_exps_u64, n_g1),
+            _digits_from_u64(b_exps_u64, n_g1),
+        ])
+        digits4 = jnp.concatenate(
+            [h_digits[None], jnp.asarray(host3)], axis=0
+        )
+        g1_dev = _msm_g1_batch_async(params.device["g1_stack"], digits4)
+        b2_dev = _msm_g2_async(
+            params.device["b_g2"],
+            _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g2"])),
+        )
+        g1_pts = _fetch_g1_batch(g1_dev)
+        idx = params.device["g1_index"]
+        h_answer = g1_pts[idx["h"]]
+        l_answer = g1_pts[idx["l"]]
+        a_answer = g1_pts[idx["a"]]
+        b1_answer = g1_pts[idx["b_g1"]]
+        b2_answer = _fetch_g2(b2_dev)
+    else:
+        # enqueue all five MSMs back-to-back (async dispatch), fetch once
+        # at the end — keeps the device queue full, no host sync per MSM
+        l_dev = _msm_g1_async(
+            params.device["l"],
+            _digits_from_u64(aux_u64, _dev_n(params.device["l"])),
+            mesh=mesh,
+        )
+        a_dev = _msm_g1_async(
+            params.device["a"],
+            _digits_from_u64(a_exps_u64, _dev_n(params.device["a"])),
+            mesh=mesh,
+        )
+        b1_dev = _msm_g1_async(
+            params.device["b_g1"],
+            _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g1"])),
+            mesh=mesh,
+        )
+        b2_dev = _msm_g2_async(
+            params.device["b_g2"],
+            _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g2"])),
+            mesh=mesh,
+        )
+        h_answer = _fetch_g1(h_dev)
+        l_answer = _fetch_g1(l_dev)
+        a_answer = _fetch_g1(a_dev)
+        b1_answer = _fetch_g1(b1_dev)
+        b2_answer = _fetch_g2(b2_dev)
 
     vk = params.vk
     g_a = vk.delta_g1 * r + vk.alpha_g1 + a_answer
@@ -388,6 +537,100 @@ def create_proof_from_assembly(cs, params: Parameters, r: int, s: int) -> Proof:
     g_c = g_c + h_answer + l_answer + a_answer * s + b1_answer * r
 
     return Proof(a=_to_affine_host(g_a), b=_to_affine_host_g2(g_b), c=_to_affine_host(g_c))
+
+
+def create_proofs_from_assemblies(
+    cs_list, params: Parameters, rs_list, mesh=None
+) -> list[Proof]:
+    """Batch prove: B assignments of the SAME circuit against one params.
+
+    The whole device stream for all B proofs — h pipelines, on-device h
+    digit extraction, and 5 MSMs per proof — is enqueued asynchronously
+    before any host fetch, so host-side marshalling of proof i+1 overlaps
+    device execution of proof i and the device queue never drains. This
+    is the TPU shape of the reference's proof-level parallelism (each
+    spend/output/convert description proved independently on rayon,
+    masp_proofs/src/sapling/prover.rs:51-275)."""
+    prepare_device_params(params, mesh=mesh)
+    rs_list = list(rs_list)
+    if not rs_list:
+        return []
+
+    # cs_list may be a lazy iterable (e.g. a witness-synthesis generator):
+    # synthesis of proof i+1 then overlaps device execution of proof i
+    cs_iter = iter(cs_list)
+    m = len(params.h) + 1
+    dom = Domain(m)
+    stacked = "g1_stack" in params.device
+    assert not stacked, "batch proving uses the per-query device layout"
+    n_g1 = _dev_n(params.device["h"])
+
+    # bound in-flight proofs: enqueueing everything at once measured
+    # SLOWER than serial on v5e-via-relay (deep queues stall the stream);
+    # a small window overlaps host marshalling with device execution
+    # without drowning the queue
+    window = int(os.environ.get("MASP_BATCH_WINDOW", "2"))
+
+    pending = []
+    fetched = []
+
+    def drain_one():
+        r, s, h_dev, l_dev, a_dev, b1_dev, b2_dev = pending.pop(0)
+        fetched.append((
+            r, s, _fetch_g1(h_dev), _fetch_g1(l_dev), _fetch_g1(a_dev),
+            _fetch_g1(b1_dev), _fetch_g2(b2_dev),
+        ))
+
+    for cs, (r, s) in zip(cs_iter, rs_list):
+        assert 1 << (cs.num_constraints - 1).bit_length() == m
+        if len(pending) >= window:
+            drain_one()
+
+        az, bz, cz = _compute_abc_limbs(cs, m)
+        h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)
+        h_digits_full = _h_digits_device(M.fr_digits_device(h_coeffs[: m - 1]))
+        h_digits = jnp.zeros((n_g1, 256 // MSM_C), dtype=jnp.int32)
+        h_digits = h_digits.at[: m - 1].set(h_digits_full)
+        h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
+
+        dkey = ("density", cs.num_constraints, cs.num_inputs, cs.num_aux)
+        dens = _JIT_CACHE.get(dkey)
+        if dens is None:
+            dens = _densities(cs)
+            _JIT_CACHE[dkey] = dens
+        a_density, b_density = dens
+        full_u64 = _assignment_u64(cs)
+        aux_u64 = full_u64[cs.num_inputs :]
+        a_exps_u64 = full_u64[a_density]
+        b_exps_u64 = full_u64[b_density]
+        l_dev = _msm_g1_async(
+            params.device["l"], _digits_from_u64(aux_u64, n_g1), mesh=mesh
+        )
+        a_dev = _msm_g1_async(
+            params.device["a"], _digits_from_u64(a_exps_u64, n_g1), mesh=mesh
+        )
+        b1_dev = _msm_g1_async(
+            params.device["b_g1"], _digits_from_u64(b_exps_u64, n_g1), mesh=mesh
+        )
+        b2_dev = _msm_g2_async(
+            params.device["b_g2"],
+            _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g2"])),
+            mesh=mesh,
+        )
+        pending.append((r, s, h_dev, l_dev, a_dev, b1_dev, b2_dev))
+
+    while pending:
+        drain_one()
+
+    vk = params.vk
+    proofs = []
+    for r, s, h_answer, l_answer, a_answer, b1_answer, b2_answer in fetched:
+        g_a = vk.delta_g1 * r + vk.alpha_g1 + a_answer
+        g_b = vk.delta_g2 * s + vk.beta_g2 + b2_answer
+        g_c = vk.delta_g1 * (r * s % R) + vk.alpha_g1 * s + vk.beta_g1 * r
+        g_c = g_c + h_answer + l_answer + a_answer * s + b1_answer * r
+        proofs.append(Proof(a=g_a, b=g_b, c=g_c))
+    return proofs
 
 
 def _to_affine_host(p: G1) -> G1:
@@ -406,5 +649,6 @@ def create_random_proof(circuit, params: Parameters, rng) -> Proof:
 
 __all__ = [
     "create_proof", "create_random_proof", "create_proof_from_assembly",
-    "prepare_device_params", "synthesize_witness",
+    "create_proofs_from_assemblies", "prepare_device_params",
+    "synthesize_witness",
 ]

@@ -29,7 +29,7 @@ from masp_tpu.primitives.sapling import (
     Diversifier, Note, Nullifier, ProofGenerationKey, Rseed,
 )
 from masp_tpu.r1cs.gadgets.multipack import bytes_to_bits_le, compute_multipacking
-from masp_tpu.utils.rng import OsRng
+from masp_tpu.utils.rng import OsRng, random_scalar
 
 
 def masp_compute_value_balance(asset_type: AssetType, value: int) -> ExtendedPoint | None:
@@ -178,6 +178,134 @@ class SaplingProvingContext:
             raise ValueError("convert proof failed self-verification")
         self.cv_sum = self.cv_sum + cv_point
         return proof, cv_point
+
+    def prove_jobs(
+        self,
+        spend_jobs,
+        convert_jobs,
+        output_jobs,
+        spend_params,
+        spend_vk,
+        convert_params,
+        convert_vk,
+        output_params,
+        rng=None,
+    ):
+        """Batch-prove a whole bundle: every description's witness is
+        synthesized up front and each circuit kind's proofs run through
+        ONE pipelined device stream (prover.create_proofs_from_assemblies)
+        instead of a host round-trip per description. TPU shape of the
+        reference's rayon proof-level parallelism (prover.rs:51-275).
+
+        Jobs are dicts with the same fields as the corresponding singular
+        methods. Returns (spend_results, convert_results, output_results)
+        with the singular methods' result tuples, in job order."""
+        from masp_tpu.groth16.prover import (
+            create_proofs_from_assemblies, synthesize_witness,
+        )
+
+        rng = rng or OsRng()
+
+        spend_insts, spend_aux = [], []
+        for j in spend_jobs:
+            self.bsk = self.bsk + j["rcv"]
+            value_commitment = j["asset_type"].value_commitment(j["value"], j["rcv"])
+            viewing_key = j["proof_generation_key"].to_viewing_key()
+            payment_address = viewing_key.to_payment_address(j["diversifier"])
+            if payment_address is None:
+                raise ValueError("invalid diversifier")
+            rk = redjubjub.PublicKey(j["proof_generation_key"].ak).randomize(
+                j["ar"], spending_key_generator()
+            )
+            note = Note(
+                asset_type=j["asset_type"], value=j["value"],
+                g_d=j["diversifier"].g_d(), pk_d=payment_address.pk_d,
+                rseed=j["rseed"],
+            )
+            nullifier = note.nf(viewing_key.nk, j["merkle_path"].position)
+            spend_insts.append(Spend(
+                value_commitment=value_commitment,
+                proof_generation_key=j["proof_generation_key"],
+                payment_address=payment_address,
+                commitment_randomness=note.rcm(),
+                ar=j["ar"],
+                auth_path=j["merkle_path"].to_circuit_path(),
+                anchor=j["anchor"],
+            ))
+            cv_point = value_commitment.commitment()
+            self.cv_sum = self.cv_sum + cv_point
+            spend_aux.append((cv_point, rk, nullifier, j["anchor"]))
+
+        convert_insts, convert_aux = [], []
+        for j in convert_jobs:
+            self.bsk = self.bsk + j["rcv"]
+            value_commitment = j["allowed_conversion"].value_commitment(
+                j["value"], j["rcv"]
+            )
+            cv_point = value_commitment.commitment()
+            convert_insts.append(Convert(
+                value_commitment=value_commitment,
+                auth_path=j["merkle_path"].to_circuit_path(),
+                anchor=j["anchor"],
+            ))
+            self.cv_sum = self.cv_sum + cv_point
+            convert_aux.append((cv_point, j["anchor"]))
+
+        output_insts, output_aux = [], []
+        for j in output_jobs:
+            self.bsk = self.bsk + (-j["rcv"])  # outputs subtract
+            value_commitment = j["asset_type"].value_commitment(j["value"], j["rcv"])
+            cv_point = value_commitment.commitment()
+            output_insts.append(Output(
+                value_commitment=value_commitment,
+                payment_address=j["payment_address"],
+                commitment_randomness=j["rcm"],
+                esk=j["esk"],
+                asset_identifier=j["asset_type"].identifier_bits(),
+            ))
+            self.cv_sum = self.cv_sum - cv_point
+            output_aux.append((cv_point,))
+
+        def batch(insts, params):
+            if not insts:
+                return []
+            # draw (r, s) up front (deterministic order), synthesize lazily
+            # so witness i+1 overlaps device execution of proof i
+            rss = [(random_scalar(rng).n, random_scalar(rng).n) for _ in insts]
+            css = (synthesize_witness(inst) for inst in insts)
+            return create_proofs_from_assemblies(css, params, rss)
+
+        spend_proofs = batch(spend_insts, spend_params)
+        convert_proofs = batch(convert_insts, convert_params)
+        output_proofs = batch(output_insts, output_params)
+
+        # self-verify spends and converts in one randomized batch each
+        # (prover.rs verifies per proof; same acceptance condition)
+        if spend_proofs:
+            inputs = [
+                spend_public_inputs(rk.point, cv, anchor, nf)
+                for (cv, rk, nf, anchor) in spend_aux
+            ]
+            if not verify_proofs_batch(spend_vk, rng, spend_proofs, inputs):
+                raise ValueError("spend proof failed self-verification")
+        if convert_proofs:
+            inputs = [
+                convert_public_inputs(cv, anchor) for (cv, anchor) in convert_aux
+            ]
+            if not verify_proofs_batch(convert_vk, rng, convert_proofs, inputs):
+                raise ValueError("convert proof failed self-verification")
+
+        spend_results = [
+            (proof, cv, rk)
+            for proof, (cv, rk, _nf, _a) in zip(spend_proofs, spend_aux)
+        ]
+        convert_results = [
+            (proof, cv) for proof, (cv, _a) in zip(convert_proofs, convert_aux)
+        ]
+        output_results = [
+            (proof, cv) for proof, (cv,) in zip(output_proofs, output_aux)
+        ]
+        return spend_results, convert_results, output_results
 
     def binding_sig(self, assets_and_values, sighash: bytes, rng=None) -> redjubjub.Signature:
         """Checks bvk consistency against the value balance, then signs

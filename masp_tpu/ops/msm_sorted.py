@@ -106,14 +106,11 @@ def bucket_reduce_horner(fops, buckets, c: int, like):
     return tuple(s[0] for s in acc)
 
 
-def sorted_msm(fops, points_packed, digits, c: int):
-    """sum_i [s_i] P_i.
-
-    points_packed: (N, 3*prod(cshape)) u32 packed projective rows
-    (pack_points); digits: (N, W) int32 c-bit windows. N must be a power
-    of two (pad with identity rows + zero digits). Returns one projective
-    point (coords with no batch axis).
-    """
+def window_buckets(fops, points_packed, digits, c: int):
+    """Per-window bucket sums (W, B, ...) — the data-parallel bulk of the
+    MSM (everything except the final bucket-weighted reduction). Separated
+    out so the mesh path can compute shard-local buckets and tree-reduce
+    them across devices before one shared reduction."""
     N = points_packed.shape[0]
     n_windows = digits.shape[1]
     B = 1 << c
@@ -169,7 +166,35 @@ def sorted_msm(fops, points_packed, digits, c: int):
         return 0, bucket
 
     _, buckets = jax.lax.scan(win_body, 0, (perm, bounds))  # (W, B, ...)
+    return buckets
+
+
+def sorted_msm(fops, points_packed, digits, c: int):
+    """sum_i [s_i] P_i.
+
+    points_packed: (N, 3*prod(cshape)) u32 packed projective rows
+    (pack_points); digits: (N, W) int32 c-bit windows. N must be a power
+    of two (pad with identity rows + zero digits). Returns one projective
+    point (coords with no batch axis).
+    """
+    buckets = window_buckets(fops, points_packed, digits, c)
+    like = _unpack(fops, points_packed)[0]
     return bucket_reduce_horner(fops, buckets, c, like)
 
 
-__all__ = ["sorted_msm", "pack_points", "bucket_reduce_horner"]
+def sorted_msm_batch(fops, points_packed, digits, c: int):
+    """Q independent MSMs in one program: points_packed (Q, N, rowlen),
+    digits (Q, N, W) -> coords with a leading Q axis.
+
+    Batching the MSMs (the prover's four same-size G1 queries, or a
+    proof batch) keeps the small upper ladder levels and the bucket
+    reduction — tiny kernels when run alone — filled Q-wide."""
+    return jax.vmap(lambda pk, d: sorted_msm(fops, pk, d, c))(
+        points_packed, digits
+    )
+
+
+__all__ = [
+    "sorted_msm", "sorted_msm_batch", "window_buckets", "pack_points",
+    "bucket_reduce_horner",
+]

@@ -132,6 +132,84 @@ def sharded_ntt(mesh: Mesh, dom, x, axis: str = "ntt", inverse: bool = False):
     return y
 
 
+def sharded_sorted_msm(mesh: Mesh, fops, points_packed, digits, c: int,
+                       axis: str = "msm"):
+    """Sorted-prefix MSM (ops/msm_sorted.py) with the point axis sharded.
+
+    Each device computes bucket sums over its own point shard (ICI-free:
+    local sort + prefix ladder), then the (W, B) bucket states are
+    all-reduced across the axis with a log2(D)-stage ppermute butterfly of
+    group adds; the bucket-weighted Horner reduction runs replicated.
+    Communication: log2(D) * W * B point rows on ICI.
+
+    points_packed: (N, rowlen) packed rows, N divisible by the axis size;
+    digits: (N, W). Returns one projective point, replicated.
+    """
+    from masp_tpu.ops import msm_sorted as MS
+
+    D = mesh.shape[axis]
+    stages = D.bit_length() - 1
+    assert 1 << stages == D, "axis size must be a power of two"
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=P(), check_vma=False,
+    )
+    def body(pk, dg):
+        buckets = MS.window_buckets(fops, pk, dg, c)  # (W, B, ...) local
+        n_windows, B = buckets[0].shape[0], buckets[0].shape[1]
+
+        def flat(t):
+            return tuple(x.reshape((n_windows * B,) + x.shape[2:]) for x in t)
+
+        def unflat(t):
+            return tuple(
+                x.reshape((n_windows, B) + x.shape[1:]) for x in t
+            )
+
+        for s in range(stages):
+            bit = 1 << s
+            pairs = [(i, i ^ bit) for i in range(D)]
+            other = tuple(jax.lax.ppermute(x, axis, pairs) for x in buckets)
+            buckets = unflat(W.g_add(fops, flat(buckets), flat(other)))
+
+        like = MS._unpack(fops, pk)[0]
+        point = MS.bucket_reduce_horner(fops, buckets, c, like)
+        return point
+
+    return body(points_packed, digits)
+
+
+def sharded_h_pipeline(mesh: Mesh, dom, az, bz, cz, axis: str = "ntt"):
+    """The Groth16 h(x) quotient pipeline with every NTT element-sharded
+    over `axis` (production m = 2^17): ifft -> coset scale -> fft per
+    input, pointwise a*b - c, divide by Z, inverse coset transform.
+
+    Elementwise scalings run under pjit between the shard_map transforms,
+    so XLA keeps them on the same shards (no resharding); the only ICI
+    traffic is the log2(D) butterfly chunk swaps inside each sharded_ntt.
+
+    az/bz/cz: (m, L) CANONICAL limb arrays. Returns (m, L) Montgomery
+    h coefficients (same contract as groth16.prover._compute_h_coeffs)."""
+    gp = jnp.asarray(dom._powers(dom.g))
+    gip = jnp.asarray(dom._powers(dom.g_inv))
+    zinv = jnp.asarray(F.encode(FR, [dom.z_on_coset_inv])[0])
+
+    def coset_eval(x):
+        x = F.to_mont(FR, x)
+        x = sharded_ntt(mesh, dom, x, axis=axis, inverse=True)  # == ifft
+        x = F.mont_mul(FR, x, gp)
+        return sharded_ntt(mesh, dom, x, axis=axis, inverse=False)
+
+    a = coset_eval(az)
+    b = coset_eval(bz)
+    c = coset_eval(cz)
+    t = F.sub(FR, F.mont_mul(FR, a, b), c)
+    t = F.mont_mul(FR, t, zinv[None, :])
+    h = sharded_ntt(mesh, dom, t, axis=axis, inverse=True)
+    return F.mont_mul(FR, h, gip)
+
+
 def dp_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Batch-of-proofs axis sharding (DCN-friendly; no cross-talk)."""
     return NamedSharding(mesh, P(axis))
@@ -151,4 +229,7 @@ def dp_batch_ntt(mesh: Mesh, dom, values, axis: str = "dp"):
     return local(values)
 
 
-__all__ = ["make_mesh", "sharded_pippenger", "sharded_ntt", "dp_sharding", "dp_batch_ntt"]
+__all__ = [
+    "make_mesh", "sharded_pippenger", "sharded_sorted_msm", "sharded_ntt",
+    "sharded_h_pipeline", "dp_sharding", "dp_batch_ntt",
+]

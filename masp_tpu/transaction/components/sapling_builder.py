@@ -318,7 +318,9 @@ class SaplingBuilder:
         total_progress = len(indexed_spends) + len(indexed_outputs)
         progress = 0
 
-        shielded_spends = []
+        # --- phase A: collect proof jobs (all non-proof work, in the same
+        # rng-draw order as the per-description path) ------------------------
+        spend_jobs, spend_meta = [], []
         if indexed_spends:
             anchor = self.spend_anchor
             assert anchor is not None
@@ -328,55 +330,92 @@ class SaplingBuilder:
                 nullifier = spend.note.nf(
                     pgk.to_viewing_key().nk, spend.merkle_path.position
                 )
-                zkproof, cv, rk = prover.spend_proof(
-                    ctx, pgk, spend.diversifier, spend.note.rseed,
-                    bparams.spend_alpha(i), spend.note.asset_type,
-                    spend.note.value, anchor, spend.merkle_path,
-                    bparams.spend_rcv(i),
-                )
                 tx_metadata.spend_indices[pos] = i
-                progress += 1
-                if progress_notifier:
-                    progress_notifier(progress, total_progress)
-                shielded_spends.append(
-                    SpendDescription(
-                        cv=cv, anchor=Scalar(anchor), nullifier=nullifier, rk=rk,
-                        zkproof=zkproof, spend_auth_sig=spend,
-                    )
-                )
+                spend_jobs.append(dict(
+                    proof_generation_key=pgk, diversifier=spend.diversifier,
+                    rseed=spend.note.rseed, ar=bparams.spend_alpha(i),
+                    asset_type=spend.note.asset_type, value=spend.note.value,
+                    anchor=anchor, merkle_path=spend.merkle_path,
+                    rcv=bparams.spend_rcv(i),
+                ))
+                spend_meta.append((spend, nullifier, anchor))
 
-        shielded_converts = []
+        convert_jobs, convert_meta = [], []
         if indexed_converts:
             anchor = self.convert_anchor
             assert anchor is not None
             for i, (pos, convert) in enumerate(indexed_converts):
-                zkproof, cv = prover.convert_proof(
-                    ctx, convert.allowed, convert.value, anchor,
-                    convert.merkle_path, bparams.convert_rcv(i),
-                )
                 tx_metadata.convert_indices[pos] = i
-                progress += 1
-                if progress_notifier:
-                    progress_notifier(progress, total_progress)
-                shielded_converts.append(
-                    ConvertDescription(cv=cv, anchor=Scalar(anchor), zkproof=zkproof)
-                )
+                convert_jobs.append(dict(
+                    allowed_conversion=convert.allowed, value=convert.value,
+                    anchor=anchor, merkle_path=convert.merkle_path,
+                    rcv=bparams.convert_rcv(i),
+                ))
+                convert_meta.append(anchor)
 
-        shielded_outputs = []
+        output_jobs, output_meta = [], []
         for i, output in enumerate(indexed_outputs):
             rseed = self._generate_rseed(bparams, i, target_height)
             if output is not None:
                 pos, out_info = output
                 tx_metadata.output_indices[pos] = i
-                desc = self._build_output(
-                    prover, ctx, rng, out_info, bparams.output_rcv(i), rseed
-                )
+                job, meta = self._prepare_output(rng, out_info, bparams.output_rcv(i), rseed)
             else:
-                desc = self._build_dummy_output(prover, ctx, rng, bparams.output_rcv(i), rseed)
-            progress += 1
+                job, meta = self._prepare_dummy_output(rng, bparams.output_rcv(i), rseed)
+            output_jobs.append(job)
+            output_meta.append(meta)
+
+        # --- phase B: prove — one pipelined batch per circuit kind when the
+        # prover supports it (LocalTxProver on TPU), else per description ----
+        if hasattr(prover, "prove_jobs"):
+            spend_results, convert_results, output_results = prover.prove_jobs(
+                ctx, spend_jobs, convert_jobs, output_jobs
+            )
+            progress = total_progress
             if progress_notifier:
                 progress_notifier(progress, total_progress)
-            shielded_outputs.append(desc)
+        else:
+            spend_results, convert_results, output_results = [], [], []
+            for job in spend_jobs:
+                spend_results.append(prover.spend_proof(
+                    ctx, job["proof_generation_key"], job["diversifier"],
+                    job["rseed"], job["ar"], job["asset_type"], job["value"],
+                    job["anchor"], job["merkle_path"], job["rcv"],
+                ))
+                progress += 1
+                if progress_notifier:
+                    progress_notifier(progress, total_progress)
+            for job in convert_jobs:
+                convert_results.append(prover.convert_proof(
+                    ctx, job["allowed_conversion"], job["value"], job["anchor"],
+                    job["merkle_path"], job["rcv"],
+                ))
+            for job in output_jobs:
+                output_results.append(prover.output_proof(
+                    ctx, job["esk"], job["payment_address"], job["rcm"],
+                    job["asset_type"], job["value"], job["rcv"],
+                ))
+                progress += 1
+                if progress_notifier:
+                    progress_notifier(progress, total_progress)
+
+        # --- phase C: assemble descriptions ---------------------------------
+        shielded_spends = [
+            SpendDescription(
+                cv=cv, anchor=Scalar(anchor), nullifier=nullifier, rk=rk,
+                zkproof=zkproof, spend_auth_sig=spend,
+            )
+            for (zkproof, cv, rk), (spend, nullifier, anchor)
+            in zip(spend_results, spend_meta)
+        ]
+        shielded_converts = [
+            ConvertDescription(cv=cv, anchor=Scalar(anchor), zkproof=zkproof)
+            for (zkproof, cv), anchor in zip(convert_results, convert_meta)
+        ]
+        shielded_outputs = [
+            self._assemble_output(rng, result, meta)
+            for result, meta in zip(output_results, output_meta)
+        ]
 
         if not shielded_spends and not shielded_outputs:
             return None
@@ -393,7 +432,9 @@ class SaplingBuilder:
             return Rseed.after_zip212(bparams.output_rseed(i))
         return Rseed.before_zip212(bparams.output_rcm(i))
 
-    def _build_output(self, prover, ctx, rng, out_info: SaplingOutputInfo, rcv, rseed) -> OutputDescription:
+    def _prepare_output(self, rng, out_info: SaplingOutputInfo, rcv, rseed):
+        """Everything for a real output except the proof: note, esk, and
+        the note encryptor (proof job + assembly metadata)."""
         note = Note(
             asset_type=out_info.asset_type,
             value=out_info.value,
@@ -404,21 +445,38 @@ class SaplingBuilder:
         domain = SaplingDomain(self.params, self.target_height)
         esk = note.generate_or_derive_esk(rng)
         encryptor = NoteEncryption(domain, out_info.ovk, note, out_info.to, out_info.memo, esk=esk)
-        zkproof, cv = prover.output_proof(
-            ctx, encryptor.esk, out_info.to, note.rcm(), out_info.asset_type,
-            out_info.value, rcv,
+        job = dict(
+            esk=encryptor.esk, payment_address=out_info.to, rcm=note.rcm(),
+            asset_type=out_info.asset_type, value=out_info.value, rcv=rcv,
         )
-        cmu = note.cmu()
-        enc_ciphertext = encryptor.encrypt_note_plaintext()
-        out_ciphertext = encryptor.encrypt_outgoing_plaintext(cv, cmu, rng)
+        return job, ("real", note, domain, encryptor)
+
+    def _assemble_output(self, rng, result, meta) -> OutputDescription:
+        zkproof, cv = result
+        if meta[0] == "real":
+            _, note, domain, encryptor = meta
+            cmu = note.cmu()
+            enc_ciphertext = encryptor.encrypt_note_plaintext()
+            out_ciphertext = encryptor.encrypt_outgoing_plaintext(cv, cmu, rng)
+            return OutputDescription(
+                cv=cv, cmu=cmu,
+                ephemeral_key=domain.epk_bytes(encryptor.epk),
+                enc_ciphertext=enc_ciphertext, out_ciphertext=out_ciphertext,
+                zkproof=zkproof,
+            )
+        _, dummy_note, epk = meta
+        from masp_tpu.note_encryption import ENC_CIPHERTEXT_SIZE, OUT_CIPHERTEXT_SIZE
+
         return OutputDescription(
-            cv=cv, cmu=cmu,
-            ephemeral_key=domain.epk_bytes(encryptor.epk),
-            enc_ciphertext=enc_ciphertext, out_ciphertext=out_ciphertext,
+            cv=cv, cmu=dummy_note.cmu(), ephemeral_key=epk.to_bytes(),
+            enc_ciphertext=rng.fill_bytes(ENC_CIPHERTEXT_SIZE),
+            out_ciphertext=rng.fill_bytes(OUT_CIPHERTEXT_SIZE),
             zkproof=zkproof,
         )
 
-    def _build_dummy_output(self, prover, ctx, rng, rcv, rseed) -> OutputDescription:
+    def _prepare_dummy_output(self, rng, rcv, rseed):
+        """Dummy-output padding (builder.rs dummy note): random address and
+        note, proof job + assembly metadata."""
         while True:
             d = Diversifier(rng.fill_bytes(11))
             g_d = d.g_d()
@@ -435,18 +493,11 @@ class SaplingBuilder:
         )
         esk = dummy_note.generate_or_derive_esk(rng)
         epk = g_d * esk
-        zkproof, cv = prover.output_proof(
-            ctx, esk, addr, dummy_note.rcm(), dummy_note.asset_type,
-            dummy_note.value, rcv,
+        job = dict(
+            esk=esk, payment_address=addr, rcm=dummy_note.rcm(),
+            asset_type=dummy_note.asset_type, value=dummy_note.value, rcv=rcv,
         )
-        from masp_tpu.note_encryption import ENC_CIPHERTEXT_SIZE, OUT_CIPHERTEXT_SIZE
-
-        return OutputDescription(
-            cv=cv, cmu=dummy_note.cmu(), ephemeral_key=epk.to_bytes(),
-            enc_ciphertext=rng.fill_bytes(ENC_CIPHERTEXT_SIZE),
-            out_ciphertext=rng.fill_bytes(OUT_CIPHERTEXT_SIZE),
-            zkproof=zkproof,
-        )
+        return job, ("dummy", dummy_note, epk)
 
 
 def apply_signatures(bundle: UnauthorizedBundle, prover, ctx, rng, bparams,
