@@ -208,7 +208,16 @@ def cached_test_params(name: str, circuit_factory, rng, cache_dir=None) -> Param
     to disk because TPU param generation is a one-time cost)."""
     cache_dir = pathlib.Path(cache_dir or ".params_cache")
     cache_dir.mkdir(exist_ok=True)
-    path = cache_dir / f"{name}.params"
+    # Key the cache by the circuit's structure digest: parameters encode the
+    # QAP densities, so any change to constraint/LC layout silently
+    # invalidates them (learned the hard way — a gadget LC fix shifted
+    # params.a length and broke proving against stale files).
+    from masp_tpu.r1cs.cs import TestConstraintSystem
+
+    shape_cs = TestConstraintSystem()
+    circuit_factory().synthesize(shape_cs)
+    digest = shape_cs.hash()[:12]
+    path = cache_dir / f"{name}-{digest}.params"
     if path.exists():
         with open(path, "rb") as f:
             return Parameters.read(f, checked=False)

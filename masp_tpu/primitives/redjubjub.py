@@ -93,6 +93,14 @@ class PublicKey:
     def to_bytes(self) -> bytes:
         return self.point.to_bytes()
 
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, PublicKey):
+            return NotImplemented
+        return self.point == other.point
+
+    def __hash__(self):
+        return hash(("redjubjub-pk", self.to_bytes()))
+
     @staticmethod
     def from_bytes(b: bytes) -> "PublicKey":
         p = ExtendedPoint.from_bytes(b)
@@ -127,9 +135,25 @@ class BatchEntry:
     sig: Signature
 
 
-def batch_verify(rng, batch: list[BatchEntry], p_g: ExtendedPoint) -> bool:
+def batch_verify(
+    rng, batch: list[BatchEntry], p_g: ExtendedPoint,
+    use_device: bool | None = None,
+) -> bool:
     """Random-z linear combination: h_G(sum z_i(R_i + c_i vk_i - s_i P_G)) == 0
-    (redjubjub.rs:240-275)."""
+    (redjubjub.rs:240-275).
+
+    use_device (default: env MASP_DEVICE_REDJUBJUB=1) evaluates the linear
+    combination as one device Jubjub MSM with batched R decompression
+    (ops/jubjub_jax.py) — worthwhile for node-side validation batches;
+    the host loop wins for a handful of signatures."""
+    if use_device is None:
+        import os
+
+        use_device = os.environ.get("MASP_DEVICE_REDJUBJUB") == "1"
+    if use_device:
+        from masp_tpu.ops.jubjub_jax import batch_verify_device
+
+        return batch_verify_device(rng, batch, p_g)
     acc = ExtendedPoint.identity()
     for entry in batch:
         r = ExtendedPoint.from_bytes(entry.sig.rbar)

@@ -59,22 +59,37 @@ def var_index(v: int) -> int:
 
 ONE = var_input(0)  # CS::one() — input variable 0, always 1
 
+# Structure-hash forensics only: when True, LinearCombinations also keep a
+# raw (var, coeff) insertion log (tools/structure_hash_hunt.py).
+TRACE_LC = False
+
 
 class LinearCombination:
     """Sum of (variable, coefficient) terms; accumulates per-variable and
-    iterates in (inputs, aux) sorted order, like bellpepper's Indexer."""
+    iterates in (inputs, aux) sorted order, like bellpepper's Indexer.
 
-    __slots__ = ("terms",)
+    When the module flag TRACE_LC is set (structure-hash forensics only),
+    every add_term is also appended to a raw insertion log so old
+    bellman-style Vec<(Variable, Scalar)> semantics (duplicates kept,
+    insertion order) can be reconstructed."""
 
-    def __init__(self, terms: dict[int, int] | None = None):
+    __slots__ = ("terms", "log")
+
+    def __init__(self, terms: dict[int, int] | None = None, log=None):
         self.terms = dict(terms) if terms else {}
+        if TRACE_LC:
+            self.log = list(log) if log else []
+        else:
+            self.log = None
 
     def copy(self) -> "LinearCombination":
-        return LinearCombination(self.terms)
+        return LinearCombination(self.terms, self.log)
 
     def add_term(self, var: int, coeff: int) -> "LinearCombination":
         c = (self.terms.get(var, 0) + coeff) % R
         self.terms[var] = c
+        if TRACE_LC:
+            self.log.append((var, coeff % R))
         return self
 
     # operator sugar: lc + var, lc + (coeff, var), lc + lc2, unary -
@@ -84,7 +99,8 @@ class LinearCombination:
 
     def __iadd__(self, other):
         if isinstance(other, LinearCombination):
-            for v, c in other.terms.items():
+            src = other.log if TRACE_LC else other.terms.items()
+            for v, c in src:
                 self.add_term(v, c)
         elif isinstance(other, tuple):
             coeff, var = other
@@ -99,7 +115,8 @@ class LinearCombination:
 
     def __isub__(self, other):
         if isinstance(other, LinearCombination):
-            for v, c in other.terms.items():
+            src = other.log if TRACE_LC else other.terms.items()
+            for v, c in src:
                 self.add_term(v, -c)
         elif isinstance(other, tuple):
             coeff, var = other
@@ -110,15 +127,17 @@ class LinearCombination:
 
     def __neg__(self):
         out = LinearCombination()
-        for v, c in self.terms.items():
-            out.terms[v] = (-c) % R
+        src = self.log if TRACE_LC else self.terms.items()
+        for v, c in src:
+            out.add_term(v, -c)
         return out
 
     def scale(self, k: int) -> "LinearCombination":
         out = LinearCombination()
         k %= R
-        for v, c in self.terms.items():
-            out.terms[v] = (c * k) % R
+        src = self.log if TRACE_LC else self.terms.items()
+        for v, c in src:
+            out.add_term(v, c * k)
         return out
 
     def sorted_terms(self) -> list[tuple[int, int]]:
@@ -462,7 +481,7 @@ class MultiEq:
         self.ops += 1
 
     def enforce_equal(self, num_bits: int, lhs: LinearCombination, rhs: LinearCombination):
-        if self.bits_used + num_bits > self.CAPACITY:
+        if self.bits_used + num_bits >= self.CAPACITY:
             self.accumulate()
         coeff = pow(2, self.bits_used, R)
         self.lhs += lhs.scale(coeff)

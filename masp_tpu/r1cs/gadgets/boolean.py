@@ -144,8 +144,12 @@ class Boolean:
             return Boolean.from_bit(AllocatedBit.xor(cs, a.bit, b.bit))
         if a.kind == Boolean.IS and b.kind == Boolean.IS:
             return Boolean.from_bit(AllocatedBit.xor(cs, a.bit, b.bit))
-        # mixed Is/Not: xor of underlying bits, negated
-        return Boolean.from_bit(AllocatedBit.xor(cs, a.bit, b.bit)).not_()
+        # mixed Is/Not: xor of underlying bits, negated. bellman's match
+        # binds the Is-side bit first regardless of argument order, and the
+        # xor constraint (2a)(b) = (a+b-c) is asymmetric — order matters for
+        # structure-hash parity.
+        is_bit, not_bit = (a.bit, b.bit) if a.kind == Boolean.IS else (b.bit, a.bit)
+        return Boolean.from_bit(AllocatedBit.xor(cs, is_bit, not_bit)).not_()
 
     @staticmethod
     def and_(cs, a: "Boolean", b: "Boolean") -> "Boolean":
