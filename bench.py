@@ -17,6 +17,9 @@ exists but numbers are unpublished; see BASELINE.md).
 Env:
   MASP_BENCH_CIRCUIT=spend|output|convert   (default spend)
   MASP_BENCH_ITERS=N                (default 5; warmup prove always runs first)
+  MASP_TRACE=1                      (print a span breakdown to stderr)
+  MASP_PROFILE=<dir>                (dump an XProf device profile of the
+                                     timed iterations into <dir>)
 """
 
 import json
@@ -78,12 +81,18 @@ def main():
     proof = create_proof_from_assembly(cs, params, 11, 22)
     assert verify_proof(pvk, proof, public_inputs), "benchmark proof failed to verify"
 
+    from masp_tpu.utils import tracing
+
+    tracing.reset()
     t0 = time.time()
-    for i in range(iters):
-        cs = synthesize_witness(make_circuit())
-        proof = create_proof_from_assembly(cs, params, 100 + i, 200 + i)
+    with tracing.device_profile(os.environ.get("MASP_PROFILE")):
+        for i in range(iters):
+            cs = synthesize_witness(make_circuit())
+            proof = create_proof_from_assembly(cs, params, 100 + i, 200 + i)
     dt = (time.time() - t0) / iters
     assert verify_proof(pvk, proof, public_inputs)
+    if os.environ.get("MASP_TRACE") == "1":
+        print(tracing.report(), file=sys.stderr)
 
     throughput = 1.0 / dt
     print(

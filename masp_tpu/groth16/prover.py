@@ -23,6 +23,7 @@ from masp_tpu.ops import weierstrass_jax as W
 from masp_tpu.ops.field_jax import FR
 from masp_tpu.r1cs.cs import ProvingAssembly
 from masp_tpu.utils.rng import random_scalar
+from masp_tpu.utils.tracing import span
 
 # window width: 8 on TPU (bucket phases are cheap there); 4 halves the
 # serial bucket-reduction length for CPU test/dryrun runs (B=16 vs 256)
@@ -420,11 +421,13 @@ def synthesize_witness(circuit, use_tape: bool | None = None):
             and WT.supported(circuit)
             and WT.has_full_instance(circuit)
         ):
-            return WT.fast_witness(circuit)
-    cs = ProvingAssembly()
-    circuit.synthesize(cs)
-    _add_input_constraints(cs)
-    return cs
+            with span("witness/tape"):
+                return WT.fast_witness(circuit)
+    with span("witness/python"):
+        cs = ProvingAssembly()
+        circuit.synthesize(cs)
+        _add_input_constraints(cs)
+        return cs
 
 
 def create_proof(circuit, params: Parameters, r: int, s: int) -> Proof:
@@ -446,37 +449,40 @@ def create_proof_from_assembly(
 
     # per-constraint evaluations, padded to m (canonical limbs; Montgomery
     # conversion happens on device in the h pipeline)
-    az, bz, cz = _compute_abc_limbs(cs, m)
+    with span("abc_eval"):
+        az, bz, cz = _compute_abc_limbs(cs, m)
 
-    h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)  # (m, L) Montgomery
-    # bellman truncates the last coefficient (degree <= m-2)
-    h_n = len(params.h)
-    assert h_n == m - 1, (h_n, m)
+    with span("h_pipeline+msm_enqueue"):
+        h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)  # (m, L) Montgomery
+        # bellman truncates the last coefficient (degree <= m-2)
+        h_n = len(params.h)
+        assert h_n == m - 1, (h_n, m)
 
-    stacked = "g1_stack" in params.device
-    n_g1 = params.device["n_g1"] if stacked else _dev_n(params.device["h"])
+        stacked = "g1_stack" in params.device
+        n_g1 = params.device["n_g1"] if stacked else _dev_n(params.device["h"])
 
-    # digits for h on device (canonical bytes -> c-bit windows)
-    h_digits_full = _h_digits_device(M.fr_digits_device(h_coeffs[: m - 1]))
-    h_digits = jnp.zeros((n_g1, 256 // MSM_C), dtype=jnp.int32)
-    h_digits = h_digits.at[: m - 1].set(h_digits_full)
+        # digits for h on device (canonical bytes -> c-bit windows)
+        h_digits_full = _h_digits_device(M.fr_digits_device(h_coeffs[: m - 1]))
+        h_digits = jnp.zeros((n_g1, 256 // MSM_C), dtype=jnp.int32)
+        h_digits = h_digits.at[: m - 1].set(h_digits_full)
 
-    if not stacked:
-        h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
+        if not stacked:
+            h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
 
     # density-filtered exponent vectors (structure static per circuit: cache)
-    dkey = ("density", cs.num_constraints, cs.num_inputs, cs.num_aux)
-    dens = _JIT_CACHE.get(dkey)
-    if dens is None:
-        dens = _densities(cs)
-        _JIT_CACHE[dkey] = dens
-    a_density, b_density = dens
-    full_u64 = _assignment_u64(cs)  # (n_vars, 4) u64 LE
-    aux_u64 = full_u64[cs.num_inputs :]
-    a_exps_u64 = full_u64[a_density]
-    b_exps_u64 = full_u64[b_density]
-    assert a_exps_u64.shape[0] == len(params.a)
-    assert b_exps_u64.shape[0] == len(params.b_g1)
+    with span("exponent_marshal"):
+        dkey = ("density", cs.num_constraints, cs.num_inputs, cs.num_aux)
+        dens = _JIT_CACHE.get(dkey)
+        if dens is None:
+            dens = _densities(cs)
+            _JIT_CACHE[dkey] = dens
+        a_density, b_density = dens
+        full_u64 = _assignment_u64(cs)  # (n_vars, 4) u64 LE
+        aux_u64 = full_u64[cs.num_inputs :]
+        a_exps_u64 = full_u64[a_density]
+        b_exps_u64 = full_u64[b_density]
+        assert a_exps_u64.shape[0] == len(params.a)
+        assert b_exps_u64.shape[0] == len(params.b_g1)
 
     if stacked:
         # the four G1 MSMs as ONE vmapped program over the (4, N, 72)
@@ -504,37 +510,40 @@ def create_proof_from_assembly(
     else:
         # enqueue all five MSMs back-to-back (async dispatch), fetch once
         # at the end — keeps the device queue full, no host sync per MSM
-        l_dev = _msm_g1_async(
-            params.device["l"],
-            _digits_from_u64(aux_u64, _dev_n(params.device["l"])),
-            mesh=mesh,
-        )
-        a_dev = _msm_g1_async(
-            params.device["a"],
-            _digits_from_u64(a_exps_u64, _dev_n(params.device["a"])),
-            mesh=mesh,
-        )
-        b1_dev = _msm_g1_async(
-            params.device["b_g1"],
-            _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g1"])),
-            mesh=mesh,
-        )
-        b2_dev = _msm_g2_async(
-            params.device["b_g2"],
-            _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g2"])),
-            mesh=mesh,
-        )
-        h_answer = _fetch_g1(h_dev)
-        l_answer = _fetch_g1(l_dev)
-        a_answer = _fetch_g1(a_dev)
-        b1_answer = _fetch_g1(b1_dev)
-        b2_answer = _fetch_g2(b2_dev)
+        with span("msm_enqueue"):
+            l_dev = _msm_g1_async(
+                params.device["l"],
+                _digits_from_u64(aux_u64, _dev_n(params.device["l"])),
+                mesh=mesh,
+            )
+            a_dev = _msm_g1_async(
+                params.device["a"],
+                _digits_from_u64(a_exps_u64, _dev_n(params.device["a"])),
+                mesh=mesh,
+            )
+            b1_dev = _msm_g1_async(
+                params.device["b_g1"],
+                _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g1"])),
+                mesh=mesh,
+            )
+            b2_dev = _msm_g2_async(
+                params.device["b_g2"],
+                _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g2"])),
+                mesh=mesh,
+            )
+        with span("msm_fetch"):
+            h_answer = _fetch_g1(h_dev)
+            l_answer = _fetch_g1(l_dev)
+            a_answer = _fetch_g1(a_dev)
+            b1_answer = _fetch_g1(b1_dev)
+            b2_answer = _fetch_g2(b2_dev)
 
-    vk = params.vk
-    g_a = vk.delta_g1 * r + vk.alpha_g1 + a_answer
-    g_b = vk.delta_g2 * s + vk.beta_g2 + b2_answer
-    g_c = vk.delta_g1 * (r * s % R) + vk.alpha_g1 * s + vk.beta_g1 * r
-    g_c = g_c + h_answer + l_answer + a_answer * s + b1_answer * r
+    with span("assemble"):
+        vk = params.vk
+        g_a = vk.delta_g1 * r + vk.alpha_g1 + a_answer
+        g_b = vk.delta_g2 * s + vk.beta_g2 + b2_answer
+        g_c = vk.delta_g1 * (r * s % R) + vk.alpha_g1 * s + vk.beta_g1 * r
+        g_c = g_c + h_answer + l_answer + a_answer * s + b1_answer * r
 
     return Proof(a=_to_affine_host(g_a), b=_to_affine_host_g2(g_b), c=_to_affine_host(g_c))
 

@@ -28,9 +28,13 @@ from masp_tpu.ops import weierstrass_jax as W
 
 
 def _traced_identity(fops, like, batch_shape):
-    """Identity points (0 : 1 : 0) of shape batch_shape + coord_shape, built
-    from a traced array so the (possibly huge) state is an in-graph broadcast
-    rather than a multi-hundred-MB constant literal embedded in the HLO."""
+    """Identity points of shape batch_shape + coord_shape, built from a
+    traced array so the (possibly huge) state is an in-graph broadcast
+    rather than a multi-hundred-MB constant literal embedded in the HLO.
+
+    Weierstrass projective identity is (0 : 1 : 0); a curve with a
+    different identity (Edwards (0 : 1 : 1) — ops/jubjub_jax.JubjubOps)
+    declares it via an ``IDENTITY_MONT`` coord-constant tuple."""
     import jax.numpy as _jnp
     import numpy as _np
 
@@ -38,6 +42,9 @@ def _traced_identity(fops, like, batch_shape):
 
     zero_el = _jnp.zeros_like(like[(0,) * (like.ndim - len(fops.coord_shape))])
     big_zero = _jnp.broadcast_to(zero_el, tuple(batch_shape) + fops.coord_shape)
+    ident = getattr(fops, "IDENTITY_MONT", None)
+    if ident is not None:
+        return tuple(big_zero + _np.asarray(c, dtype=_np.uint32) for c in ident)
     if len(fops.coord_shape) == 1:  # Fq
         one_small = _np.asarray(_FQ.ONE_MONT, dtype=_np.uint32)
     else:  # Fq2: (ONE_MONT, 0)

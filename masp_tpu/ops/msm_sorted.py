@@ -56,6 +56,8 @@ def _g_neg(fops, p):
     from masp_tpu.ops import field_jax as F
     from masp_tpu.ops.field_jax import FQ
 
+    if hasattr(fops, "neg_point"):  # e.g. Edwards: negate X, not Y
+        return fops.neg_point(p)
     X, Y, Z = p
     if len(fops.coord_shape) == 1:
         return (X, F.neg(FQ, Y), Z)

@@ -25,17 +25,21 @@ Element layout: Fq2 = (..., 2, L) limb array; Fq6 = (c0, c1, c2) tuple of
 Fq2; Fq12 = (a0, a1) tuple of Fq6 — pytrees, so they thread through
 ``lax.scan`` untouched. Works under any field_jax impl.
 
-Status (round 1): validated exactly against the host pairing on the CPU
+Status (round 2): validated exactly against the host pairing on the CPU
 backend (tower ops, full Miller + final exp, product checks, and the
-verifier batch path). KNOWN LIMITATION: on the axon TPU relay the single
-monolithic scan program (63-step Miller + 1522-step hard part, Fermat
-inversions inlined) crashed the TPU worker process — round 2 should
-split execution into smaller dispatches (chunked scans / precompiled
-segments) before enabling `use_device_pairing` on real TPU hardware.
+verifier batch path). Execution is CHUNKED: the round-1 monolithic scan
+program (63-step Miller + 1522-step hard part, Fermat inversions
+inlined) crashed the axon TPU worker, so the Miller loop and the
+hard-part exponentiation now run as bounded jitted dispatches
+(``MASP_PAIR_MILLER_CHUNK`` bits / ``MASP_PAIR_EXP_CHUNK`` bits per
+dispatch; exponent bits are a traced argument, so every uniform chunk
+reuses ONE compiled program). Set the chunk sizes >= the loop lengths
+to recover the single-program behavior.
 """
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -258,47 +262,73 @@ def _three(a):
     return f2add(f2add(a, a), a)
 
 
-def multi_miller_loop_device(px, py, qx, qy):
+_MILLER_BITS = tuple(int(b) for b in bin(BLS_X)[3:])  # skip leading 1
+
+
+def _miller_chunk_size() -> int:
+    return int(os.environ.get("MASP_PAIR_MILLER_CHUNK", "9"))
+
+
+@lru_cache(maxsize=None)
+def _miller_chunk_fn():
+    """One jitted Miller-loop segment: (carry, coords, bits) -> carry.
+
+    ``bits`` is a traced uint32 array, so all chunks of the same length
+    share one compiled program; XLA re-specializes only per (chunk_len,
+    n_pairs) shape."""
+
+    @jax.jit
+    def run(f, t, px, py, qx, qy, bits):
+        def step(carry, bit):
+            f, (tx, ty) = carry
+            # doubling: λ' = 3x² / 2y ; T2 = (λ'²−2x, λ'(x−x₃)−y)
+            inv_dbl = Fq2Ops.batch_inv(f2add(ty, ty))
+            lam_d = f2mul(_three(f2sq(tx)), inv_dbl)
+            x_d = f2sub(f2sq(lam_d), f2add(tx, tx))
+            y_d = f2sub(f2mul(lam_d, f2sub(tx, x_d)), ty)
+            A, B, C = _slope_lines(px, py, tx, ty, lam_d)
+            f = f12mul(f12sq(f), _line_fq12(A, B, C, px))
+
+            # addition of Q to the post-double T (applied when bit == 1)
+            inv_add = Fq2Ops.batch_inv(f2sub(qx, x_d))
+            lam_a = f2mul(f2sub(qy, y_d), inv_add)
+            x_a = f2sub(f2sub(f2sq(lam_a), x_d), qx)
+            y_a = f2sub(f2mul(lam_a, f2sub(x_d, x_a)), y_d)
+            Aa, Ba, Ca = _slope_lines(px, py, x_d, y_d, lam_a)
+            f_add = f12mul(f, _line_fq12(Aa, Ba, Ca, px))
+
+            take = (bit == 1)
+            f = f12select(take, f_add, f)
+            tx2 = jnp.where(take, x_a, x_d)
+            ty2 = jnp.where(take, y_a, y_d)
+            return (f, (tx2, ty2)), None
+
+        (f, t), _ = jax.lax.scan(step, (f, t), bits)
+        return f, t
+
+    return run
+
+
+def multi_miller_loop_device(px, py, qx, qy, chunk: int | None = None):
     """Batched Miller loop: per-pair f_i, all pairs vectorized.
 
     px, py: (n, 2, L) embedded G1 affine coords (Fq in c0, c1 = 0).
     qx, qy: (n, 2, L) twisted G2 affine coords.
     Returns the Fq12 *product* over pairs — identical to the host
     multi_miller_loop on the same (non-identity) pairs.
+
+    Executes as ceil(63/chunk) bounded dispatches (the monolithic
+    63-step program crashed the axon TPU worker; see module docstring).
     """
     n = px.shape[0]
-    bits = jnp.asarray(
-        [int(b) for b in bin(BLS_X)[3:]], dtype=jnp.uint32
-    )  # skip leading 1
+    chunk = max(1, chunk if chunk is not None else _miller_chunk_size())
 
-    f0 = f12one(px)
-    t0 = (qx, qy)
-
-    def step(carry, bit):
-        f, (tx, ty) = carry
-        # doubling: λ' = 3x² / 2y ; T2 = (λ'²−2x, λ'(x−x₃)−y)
-        inv_dbl = Fq2Ops.batch_inv(f2add(ty, ty))
-        lam_d = f2mul(_three(f2sq(tx)), inv_dbl)
-        x_d = f2sub(f2sq(lam_d), f2add(tx, tx))
-        y_d = f2sub(f2mul(lam_d, f2sub(tx, x_d)), ty)
-        A, B, C = _slope_lines(px, py, tx, ty, lam_d)
-        f = f12mul(f12sq(f), _line_fq12(A, B, C, px))
-
-        # addition of Q to the post-double T (applied when bit == 1)
-        inv_add = Fq2Ops.batch_inv(f2sub(qx, x_d))
-        lam_a = f2mul(f2sub(qy, y_d), inv_add)
-        x_a = f2sub(f2sub(f2sq(lam_a), x_d), qx)
-        y_a = f2sub(f2mul(lam_a, f2sub(x_d, x_a)), y_d)
-        Aa, Ba, Ca = _slope_lines(px, py, x_d, y_d, lam_a)
-        f_add = f12mul(f, _line_fq12(Aa, Ba, Ca, px))
-
-        take = (bit == 1)
-        f = f12select(take, f_add, f)
-        tx2 = jnp.where(take, x_a, x_d)
-        ty2 = jnp.where(take, y_a, y_d)
-        return (f, (tx2, ty2)), None
-
-    (f, _), _ = jax.lax.scan(step, (f0, t0), bits)
+    f = f12one(px)
+    t = (qx, qy)
+    run = _miller_chunk_fn()
+    for lo in range(0, len(_MILLER_BITS), chunk):
+        bits = jnp.asarray(_MILLER_BITS[lo:lo + chunk], dtype=jnp.uint32)
+        f, t = run(f, t, px, py, qx, qy, bits)
 
     # product over the pair axis, then conjugate (BLS_X is negative)
     def pair_slice(tree, i):
@@ -321,21 +351,60 @@ def _hard_exp_bits() -> tuple:
     return tuple(int(b) for b in bin(d)[2:])
 
 
-def final_exponentiation_device(f):
-    """f^((q¹²−1)/r), matching the host final_exponentiation exactly."""
-    # easy part: f^((q⁶−1)(q²+1))
-    f = f12mul(f12conj(f), f12inv(f))
-    f = f12mul(f12frobenius2(f), f)
-    # hard part: square-and-multiply over the static exponent bits
-    bits = jnp.asarray(_hard_exp_bits()[1:], dtype=jnp.uint32)  # skip MSB
+def _exp_chunk_size() -> int:
+    return int(os.environ.get("MASP_PAIR_EXP_CHUNK", "64"))
 
-    def step(acc, bit):
-        acc = f12sq(acc)
-        acc = f12select(bit == 1, f12mul(acc, f), acc)
-        return acc, None
 
-    out, _ = jax.lax.scan(step, f, bits)
-    return out
+@lru_cache(maxsize=None)
+def _easy_part_fn():
+    """Easy part f^((q⁶−1)(q²+1)) as one jitted dispatch (contains the
+    sole Fq12 tower inversion — a 381-step Fermat scan underneath)."""
+
+    @jax.jit
+    def run(f):
+        g = f12mul(f12conj(f), f12inv(f))
+        return f12mul(f12frobenius2(g), g)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _hard_chunk_fn():
+    """One jitted square-and-multiply segment: (acc, base, bits) -> acc."""
+
+    @jax.jit
+    def run(acc, base, bits):
+        def step(acc, bit):
+            acc = f12sq(acc)
+            acc = f12select(bit == 1, f12mul(acc, base), acc)
+            return acc, None
+
+        out, _ = jax.lax.scan(step, acc, bits)
+        return out
+
+    return run
+
+
+def final_exponentiation_device(f, chunk: int | None = None):
+    """f^((q¹²−1)/r), matching the host final_exponentiation exactly.
+
+    The 1523-bit hard part runs as uniform bounded dispatches: the bit
+    string is FRONT-padded with zeros (neutral when acc starts at one)
+    to a multiple of the chunk size, so every dispatch reuses one
+    compiled program."""
+    chunk = max(1, chunk if chunk is not None else _exp_chunk_size())
+    f = _easy_part_fn()(f)
+
+    bits = _hard_exp_bits()
+    pad = (-len(bits)) % chunk
+    bits = (0,) * pad + bits
+
+    acc = f12one(f[0][0])
+    run = _hard_chunk_fn()
+    for lo in range(0, len(bits), chunk):
+        seg = jnp.asarray(bits[lo:lo + chunk], dtype=jnp.uint32)
+        acc = run(acc, f, seg)
+    return acc
 
 
 def _is_one_host(f) -> bool:

@@ -229,6 +229,8 @@ class G2Ops(Fq2Ops):
 def g_add(fops, p, q):
     from masp_tpu.ops import field_jax as _F
 
+    if hasattr(fops, "add_points"):  # curve brings its own complete formula
+        return fops.add_points(p, q)
     if _F.get_impl() == "pallas" and fops in (G1Ops, G2Ops):
         from masp_tpu.kernels.field_kernels import pallas_point_add
 
