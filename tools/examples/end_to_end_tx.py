@@ -16,10 +16,19 @@ sapling/prover.rs MockTxProver).
 Run:  python tools/examples/end_to_end_tx.py
 """
 
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+# This demo needs no accelerator (MockTxProver): run the handful of jax
+# touches on CPU so it works even when the TPU relay is unavailable.
+# Must happen before any jax array op; opt out with MASP_EXAMPLE_TPU=1.
+if os.environ.get("MASP_EXAMPLE_TPU") != "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from masp_tpu.primitives.asset_type import AssetType
 from masp_tpu.primitives.consensus import TEST_NETWORK
