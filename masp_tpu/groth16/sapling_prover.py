@@ -471,7 +471,13 @@ class BatchValidator:
         output_vk: PreparedVerifyingKey,
         rng=None,
         use_device_pairing: bool = False,
+        use_device_sigs: bool | None = None,
     ) -> bool:
+        """use_device_pairing runs the Groth16 batch check's Miller loop /
+        final exponentiation on device (ops/pairing_jax.py, chunked
+        dispatches); use_device_sigs evaluates each RedJubjub signature
+        batch as one device Jubjub MSM (ops/jubjub_jax.py; None = the
+        MASP_DEVICE_REDJUBJUB env default)."""
         if not self.bundles_added:
             return True
         rng = rng or OsRng()
@@ -482,12 +488,13 @@ class BatchValidator:
         spend_sigs = [e for e in self.signatures if _is_spend_auth(e)]
         binding_sigs = [e for e in self.signatures if not _is_spend_auth(e)]
         if spend_sigs and not redjubjub.batch_verify(
-            rng, spend_sigs, spending_key_generator()
+            rng, spend_sigs, spending_key_generator(), use_device=use_device_sigs
         ):
             _log.debug("batch validation failed spend-auth signature check")
             return False
         if binding_sigs and not redjubjub.batch_verify(
-            rng, binding_sigs, value_commitment_randomness_generator()
+            rng, binding_sigs, value_commitment_randomness_generator(),
+            use_device=use_device_sigs,
         ):
             _log.debug("batch validation failed binding signature check")
             return False

@@ -165,9 +165,25 @@ class SaplingDomain:
         return JubjubFr.from_bytes(out_plaintext[32:64])
 
     # --- BatchDomain ------------------------------------------------------
-    def batch_epk(self, ephemeral_keys: list[bytes]):
-        """Returns [(epk or None, ephemeral_key)]. Host version; the
-        vectorized decompression lives in ops.jubjub_jax."""
+    def batch_epk(self, ephemeral_keys: list[bytes], use_device: bool | None = None):
+        """Returns [(epk or None, ephemeral_key)].
+
+        For wallet-scanning-sized batches the decompression runs as ONE
+        device program (ops/jubjub_jax.batch_from_bytes: batched
+        Tonelli-Shanks sqrt — the analogue of the reference's
+        jubjub batch_from_bytes, note_encryption.rs:385-400); small
+        batches stay on the host decoder. Threshold via
+        MASP_EPK_DEVICE_MIN (default 64; 0 disables the device path)."""
+        if use_device is None:
+            import os
+
+            min_n = int(os.environ.get("MASP_EPK_DEVICE_MIN", "64"))
+            use_device = min_n > 0 and len(ephemeral_keys) >= min_n
+        if use_device:
+            from masp_tpu.ops.jubjub_jax import batch_from_bytes
+
+            pts = batch_from_bytes(ephemeral_keys)
+            return list(zip(pts, ephemeral_keys))
         return [(ExtendedPoint.from_bytes(ek), ek) for ek in ephemeral_keys]
 
     def batch_kdf(self, items):

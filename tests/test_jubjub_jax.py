@@ -113,6 +113,25 @@ def test_batch_from_bytes_matches_host():
     assert J.batch_from_bytes([bytes(neg_zero)], zip_216_enabled=False)[0] is not None
 
 
+def test_batch_epk_device_matches_host():
+    """SaplingDomain.batch_epk (wallet-scanning hot loop) device vs host."""
+    from masp_tpu.note_encryption.sapling_domain import SaplingDomain
+    from masp_tpu.primitives.consensus import TEST_NETWORK
+
+    rng = random.Random(76)
+    domain = SaplingDomain(TEST_NETWORK, 10)
+    eks = [(_rand_point(rng)).to_bytes() for _ in range(5)]
+    eks.append(b"\xff" * 32)  # invalid encoding
+    host = domain.batch_epk(eks, use_device=False)
+    dev = domain.batch_epk(eks, use_device=True)
+    assert len(host) == len(dev)
+    for (hp, hek), (dp, dek) in zip(host, dev):
+        assert hek == dek
+        assert (hp is None) == (dp is None)
+        if hp is not None:
+            assert hp == dp
+
+
 def test_batch_verify_device_matches_host():
     from masp_tpu.primitives import redjubjub as RJ
     from masp_tpu.utils.rng import XorShiftRng
