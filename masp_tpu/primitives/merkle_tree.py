@@ -89,14 +89,31 @@ class FrozenCommitmentTree:
 
     @staticmethod
     def _complete(tree, prev_start, prev_width, heightp, leafs) -> "FrozenCommitmentTree":
+        import os
+
+        # Bulk construction is the point of the Frozen tree
+        # (merkle_tree.rs:107-256 builds levels in parallel): wide levels
+        # hash as ONE batched device Pedersen program per level
+        # (ops/pedersen_jax.batch_merkle_hash). 0 disables.
+        device_min = int(os.environ.get("MASP_MERKLE_DEVICE_MIN", "64"))
         for height in range(heightp, DEPTH):
             if prev_width % 2 == 1:
                 prev_width += 1
                 tree.append(_empty_root(height))
-            for j in range(prev_width // 2):
-                tree.append(
-                    _combine(height, tree[prev_start + 2 * j], tree[prev_start + 2 * j + 1])
-                )
+            n_pairs = prev_width // 2
+            if device_min > 0 and n_pairs >= device_min:
+                from masp_tpu.ops.pedersen_jax import batch_merkle_hash
+
+                pairs = [
+                    (tree[prev_start + 2 * j].repr, tree[prev_start + 2 * j + 1].repr)
+                    for j in range(n_pairs)
+                ]
+                tree.extend(Node(r) for r in batch_merkle_hash(height, pairs))
+            else:
+                for j in range(n_pairs):
+                    tree.append(
+                        _combine(height, tree[prev_start + 2 * j], tree[prev_start + 2 * j + 1])
+                    )
             prev_start += prev_width
             prev_width //= 2
         return FrozenCommitmentTree(tree, leafs)
