@@ -18,6 +18,14 @@ from tools.cross_verify_fixtures import cross_verify, load_inputs
 
 
 
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    """Generate the fixture ONCE per module: parameter generation compiles
+    the tiny-shape MSM/NTT programs, which dominates the test wall-clock
+    on a cold XLA cache."""
+    return _write_fixture(tmp_path_factory.mktemp("fixtures"))
+
+
 def _write_fixture(tmp_path: pathlib.Path):
     """Generate a tiny circuit's params + proof + inputs in fixture format."""
     from masp_tpu.groth16.generator import generate_random_parameters
@@ -55,17 +63,20 @@ def _write_fixture(tmp_path: pathlib.Path):
     return tmp_path
 
 
-def test_cross_verify_roundtrip(tmp_path):
-    d = _write_fixture(tmp_path)
-    results = cross_verify(d)
+def test_cross_verify_roundtrip(fixture_dir):
+    results = cross_verify(fixture_dir)
     assert results == [("mul", True)]
 
 
-def test_cross_verify_rejects_wrong_inputs(tmp_path):
-    d = _write_fixture(tmp_path)
-    (d / "mul.inputs").write_bytes((16).to_bytes(32, "little"))
-    results = cross_verify(d)
-    assert results == [("mul", False)]
+def test_cross_verify_rejects_wrong_inputs(fixture_dir):
+    # runs after the roundtrip test; restore the good inputs afterwards
+    good = (fixture_dir / "mul.inputs").read_bytes()
+    try:
+        (fixture_dir / "mul.inputs").write_bytes((16).to_bytes(32, "little"))
+        results = cross_verify(fixture_dir)
+        assert results == [("mul", False)]
+    finally:
+        (fixture_dir / "mul.inputs").write_bytes(good)
 
 
 def test_load_inputs_rejects_noncanonical(tmp_path):
