@@ -60,8 +60,16 @@ def _ints_to_u64x4(vals):
 
 
 def _u64x4_to_limbs16(arr):
-    """(N, 4) u64 -> (N, 16) uint32 16-bit limbs (vectorized)."""
+    """(N, 4) u64 -> (N, 16) uint32 16-bit limbs.
+
+    On little-endian hosts the u64 words ARE the 16-bit limbs in memory
+    order, so this is a reinterpret + widen (measured 128 ms -> ~6 ms for
+    a Spend's 3n rows vs the shift-and-mask loop)."""
+    import sys
+
     n = arr.shape[0]
+    if sys.byteorder == "little":
+        return np.ascontiguousarray(arr).view(np.uint16).reshape(n, 16).astype(np.uint32)
     out = np.empty((n, 16), dtype=np.uint32)
     for j in range(16):
         out[:, j] = ((arr[:, j // 4] >> np.uint64(16 * (j % 4))) & np.uint64(0xFFFF)).astype(

@@ -27,7 +27,7 @@ def _build() -> bool:
     srcs = [str(_DIR / s) for s in _SOURCES]
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", str(_SO), *srcs],
+            ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-o", str(_SO), *srcs],
             check=True,
             capture_output=True,
         )

@@ -9,6 +9,10 @@
 
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
+#include <cstdlib>
+#include <thread>
+#include <vector>
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -105,10 +109,10 @@ extern "C" {
 //   coeffs:   (nnz * 4) u64 — little-endian 4-limb field elements
 //   assignment: (num_vars * 4) u64
 //   out:      (num_rows * 4) u64
-void eval_lc_rows(const int64_t* indptr, const int64_t* var_idx,
-                  const u64* coeffs, const u64* assignment,
-                  int64_t num_rows, u64* out) {
-    for (int64_t row = 0; row < num_rows; row++) {
+static void eval_rows_range(const int64_t* indptr, const int64_t* var_idx,
+                            const u64* coeffs, const u64* assignment,
+                            int64_t lo, int64_t hi, u64* out) {
+    for (int64_t row = lo; row < hi; row++) {
         U512 acc;
         std::memset(&acc, 0, sizeof(acc));
         for (int64_t k = indptr[row]; k < indptr[row + 1]; k++) {
@@ -118,6 +122,37 @@ void eval_lc_rows(const int64_t* indptr, const int64_t* var_idx,
         }
         reduce_512(&acc, out + 4 * row);
     }
+}
+
+void eval_lc_rows(const int64_t* indptr, const int64_t* var_idx,
+                  const u64* coeffs, const u64* assignment,
+                  int64_t num_rows, u64* out) {
+    // rows are independent: shard across threads (the rayon analogue of
+    // bellperson's parallel evaluation). MASP_NATIVE_THREADS caps it;
+    // small row counts stay single-threaded.
+    int nthreads = 1;
+    if (num_rows >= 4096) {
+        unsigned hw = std::thread::hardware_concurrency();
+        nthreads = (int)std::min<unsigned>(hw ? hw : 1, 16);
+        if (const char* env = std::getenv("MASP_NATIVE_THREADS")) {
+            int v = std::atoi(env);
+            if (v >= 1) nthreads = std::min(v, 64);
+        }
+    }
+    if (nthreads <= 1) {
+        eval_rows_range(indptr, var_idx, coeffs, assignment, 0, num_rows, out);
+        return;
+    }
+    std::vector<std::thread> workers;
+    int64_t chunk = (num_rows + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        int64_t lo = t * chunk;
+        int64_t hi = std::min(num_rows, lo + chunk);
+        if (lo >= hi) break;
+        workers.emplace_back(eval_rows_range, indptr, var_idx, coeffs,
+                             assignment, lo, hi, out);
+    }
+    for (auto& w : workers) w.join();
 }
 
 // canonical 4x64 LE -> 16x16-bit limb arrays (uint32 lanes), Montgomery
