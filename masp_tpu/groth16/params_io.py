@@ -224,7 +224,11 @@ def cached_test_params(name: str, circuit_factory, rng, cache_dir=None) -> Param
     from masp_tpu.groth16.generator import generate_random_parameters
 
     params = generate_random_parameters(circuit_factory(), rng)
-    path.write_bytes(params.write())
+    # atomic publish: generation takes minutes on device — a crash mid-write
+    # must not leave a truncated file the next run would trust
+    tmp = path.with_suffix(f".tmp-{os.getpid()}")
+    tmp.write_bytes(params.write())
+    os.replace(tmp, path)
     return params
 
 
