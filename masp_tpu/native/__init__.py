@@ -75,6 +75,23 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint64),
         ]
         lib.replay_tape.restype = ctypes.c_int64
+        lib.compute_levels.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.replay_tape_leveled.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+        ]
+        lib.replay_tape_leveled.restype = ctypes.c_int64
     except AttributeError:
         pass  # older .so without the tape interpreter
     _LIB = lib
@@ -115,6 +132,55 @@ def tape_available() -> bool:
     return lib is not None and hasattr(lib, "replay_tape")
 
 
+def leveled_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "replay_tape_leveled")
+
+
+def compute_levels_native(ops: np.ndarray) -> np.ndarray:
+    """Per-op dependency level, (n,) int32 (see witness_tape.cpp)."""
+    lib = get_lib()
+    assert lib is not None
+    ops = np.ascontiguousarray(ops, dtype=np.int64)
+    n = ops.shape[0]
+    out = np.empty(n, dtype=np.int32)
+    lib.compute_levels(
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
+
+
+def replay_tape_leveled_native(ops: np.ndarray, offsets: np.ndarray,
+                               consts: np.ndarray, inputs: np.ndarray,
+                               min_par: int = 4096) -> np.ndarray:
+    """Level-scheduled tape replay: ops sorted by dependency level (with
+    renumbered operands), offsets (n_levels+1) int64 level boundaries.
+    Wide levels run threaded. Returns all registers, (n, 4) u64 LE."""
+    lib = get_lib()
+    assert lib is not None
+    n = ops.shape[0]
+    ops = np.ascontiguousarray(ops, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    consts = np.ascontiguousarray(consts, dtype=np.uint64)
+    inputs = np.ascontiguousarray(inputs, dtype=np.uint64)
+    out = np.empty((n, 4), dtype=np.uint64)
+    rc = lib.replay_tape_leveled(
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        offsets.shape[0] - 1,
+        _as_u64_ptr(consts),
+        _as_u64_ptr(inputs),
+        inputs.shape[0],
+        _as_u64_ptr(out),
+        min_par,
+    )
+    if rc != 0:
+        raise ValueError(f"leveled tape replay failed at op {rc - 1} (zero inverse?)")
+    return out
+
+
 def replay_tape_native(ops: np.ndarray, consts: np.ndarray,
                        inputs: np.ndarray) -> np.ndarray:
     """Execute a witness tape (see r1cs/tape.py for the op set).
@@ -145,4 +211,5 @@ def replay_tape_native(ops: np.ndarray, consts: np.ndarray,
 __all__ = [
     "get_lib", "eval_lc_rows_native", "available",
     "tape_available", "replay_tape_native",
+    "leveled_available", "compute_levels_native", "replay_tape_leveled_native",
 ]

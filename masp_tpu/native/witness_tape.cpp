@@ -9,8 +9,13 @@
 //
 // Built into libmasp_native.so alongside lc_eval.cpp.
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -195,13 +200,13 @@ int inv_mod(const u64 in[4], u64 out[4]) {
 
 extern "C" {
 
-// ops: (n, 3) int64 rows [opcode, a, b]; consts (k, 4) u64; inputs (m, 4)
-// u64; regs_out (n, 4) u64 receives every register.
-// Returns 0 on success, or 1 + op_index of the first zero-inverse.
-int64_t replay_tape(const int64_t* ops, int64_t n, const u64* consts,
-                    const u64* inputs, int64_t num_inputs, u64* regs) {
-    (void)num_inputs;
-    for (int64_t i = 0; i < n; i++) {
+// execute rows [lo, hi) of the tape; regs for operand registers must
+// already be computed (sequential order, or level order for the leveled
+// scheduler). Returns 0 or 1 + op_index of the first failure.
+static int64_t exec_rows(const int64_t* ops, const u64* consts,
+                         const u64* inputs, u64* regs,
+                         int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
         const int64_t op = ops[3 * i], a = ops[3 * i + 1], b = ops[3 * i + 2];
         u64* out = regs + 4 * i;
         switch (op) {
@@ -254,6 +259,84 @@ int64_t replay_tape(const int64_t* ops, int64_t n, const u64* consts,
             default:
                 return i + 1;
         }
+    }
+    return 0;
+}
+
+// ops: (n, 3) int64 rows [opcode, a, b]; consts (k, 4) u64; inputs (m, 4)
+// u64; regs_out (n, 4) u64 receives every register.
+// Returns 0 on success, or 1 + op_index of the first zero-inverse.
+int64_t replay_tape(const int64_t* ops, int64_t n, const u64* consts,
+                    const u64* inputs, int64_t num_inputs, u64* regs) {
+    (void)num_inputs;
+    return exec_rows(ops, consts, inputs, regs, 0, n);
+}
+
+// dependency level per op (0 for CONST/INPUT; 1 + max(level of register
+// operands) otherwise). Single O(n) pass; the register index of op i is i.
+void compute_levels(const int64_t* ops, int64_t n, int32_t* levels) {
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t op = ops[3 * i], a = ops[3 * i + 1], b = ops[3 * i + 2];
+        int32_t lv = 0;
+        switch (op) {
+            case 0: case 1:  // CONST/INPUT: no register operands
+                break;
+            case 2: case 3: case 4: case 8: case 9:  // two registers
+                lv = 1 + std::max(levels[a], levels[b]);
+                break;
+            default:  // NEG/INV/SHR/ANDC: register a only
+                lv = 1 + levels[a];
+                break;
+        }
+        levels[i] = lv;
+    }
+}
+
+// level-scheduled replay: ops MUST be sorted by dependency level with
+// operand registers renumbered to the sorted order (r1cs/tape.py
+// Tape._leveled). offsets: (n_levels + 1) int64 row boundaries. Levels
+// wider than min_par rows execute sharded across hardware threads — the
+// rayon analogue for witness synthesis (reference: bellperson's parallel
+// witness closures, SURVEY.md §3.1).
+int64_t replay_tape_leveled(const int64_t* ops, int64_t n,
+                            const int64_t* offsets, int64_t n_levels,
+                            const u64* consts, const u64* inputs,
+                            int64_t num_inputs, u64* regs,
+                            int64_t min_par) {
+    (void)num_inputs;
+    int nthreads = 1;
+    unsigned hw = std::thread::hardware_concurrency();
+    nthreads = (int)std::min<unsigned>(hw ? hw : 1, 16);
+    if (const char* env = std::getenv("MASP_NATIVE_THREADS")) {
+        int v = std::atoi(env);
+        if (v >= 1) nthreads = std::min(v, 64);
+    }
+    if (min_par < 1) min_par = 4096;
+
+    for (int64_t l = 0; l < n_levels; l++) {
+        int64_t lo = offsets[l], hi = offsets[l + 1];
+        if (nthreads <= 1 || hi - lo < min_par) {
+            int64_t rc = exec_rows(ops, consts, inputs, regs, lo, hi);
+            if (rc) return rc;
+            continue;
+        }
+        std::atomic<int64_t> err(0);
+        std::vector<std::thread> workers;
+        int64_t chunk = (hi - lo + nthreads - 1) / nthreads;
+        for (int t = 0; t < nthreads; t++) {
+            int64_t clo = lo + t * chunk;
+            int64_t chi = std::min(hi, clo + chunk);
+            if (clo >= chi) break;
+            workers.emplace_back([&, clo, chi] {
+                int64_t rc = exec_rows(ops, consts, inputs, regs, clo, chi);
+                if (rc) {
+                    int64_t expect = 0;
+                    err.compare_exchange_strong(expect, rc);
+                }
+            });
+        }
+        for (auto& w : workers) w.join();
+        if (err.load()) return err.load();
     }
     return 0;
 }

@@ -206,6 +206,48 @@ class Tape:
         self.num_inputs = num_inputs
         self.aux_regs = aux_regs  # (num_aux,) int64
         self.input_regs = input_regs  # (num_inputs_cs - 1,) int64 (skips ONE)
+        self._leveled_cache = None
+
+    # ops with two register operands; the rest read register `a` only
+    # (CONST/INPUT read no register: a is a const/input table index)
+    _TWO_REG = (OP_ADD, OP_SUB, OP_MUL, OP_XORW, OP_ORW)
+
+    def _leveled(self):
+        """Level-scheduled form: (sorted_ops, level_offsets, input_regs',
+        aux_regs') with operand registers renumbered to the sorted order.
+
+        Ops on the same dependency level are independent, so the native
+        replay executes each wide level across threads (the rayon shape of
+        bellperson's parallel witness synthesis, SURVEY.md §3.1). Computed
+        once per tape (cached; the tape itself is cached per circuit
+        class)."""
+        if self._leveled_cache is not None:
+            return self._leveled_cache
+        from masp_tpu import native
+
+        levels = native.compute_levels_native(self.ops)
+        order = np.argsort(levels, kind="stable").astype(np.int64)
+        new_index = np.empty_like(order)
+        new_index[order] = np.arange(len(order), dtype=np.int64)
+
+        ops = self.ops[order].copy()
+        opc = ops[:, 0]
+        reads_a = ~np.isin(opc, (OP_CONST, OP_INPUT))
+        ops[reads_a, 1] = new_index[ops[reads_a, 1]]
+        reads_b = np.isin(opc, self._TWO_REG)
+        ops[reads_b, 2] = new_index[ops[reads_b, 2]]
+
+        sorted_levels = levels[order]
+        n_levels = int(sorted_levels[-1]) + 1 if len(sorted_levels) else 0
+        offsets = np.searchsorted(
+            sorted_levels, np.arange(n_levels + 1, dtype=np.int64)
+        ).astype(np.int64)
+
+        self._leveled_cache = (
+            np.ascontiguousarray(ops), offsets,
+            new_index[self.input_regs], new_index[self.aux_regs],
+        )
+        return self._leveled_cache
 
     def replay_py(self, inputs: list[int]) -> tuple[list[int], list[int]]:
         """Pure-Python replay (reference implementation for tests)."""
@@ -248,10 +290,27 @@ class Tape:
 
     def replay(self, inputs: list[int]):
         """Replay natively if available; returns (inputs_u64x4, aux_u64x4)
-        numpy arrays including the leading ONE."""
+        numpy arrays including the leading ONE.
+
+        MASP_TAPE_LEVELED=1 opts into the level-scheduled multithreaded
+        replay. Measured NEUTRAL on a 4-core host (Spend 180 vs 183 ms):
+        the tape's expensive ops (MUL/INV along the Pedersen chains) sit
+        on the narrow critical path while the wide levels are cheap bit
+        ops, so default stays sequential; the leveled path is for
+        many-core hosts."""
+        import os
+
         from masp_tpu import native
 
         inp = _ints_to_u64x4([int(x) % R for x in inputs])
+        if (
+            native.leveled_available()
+            and os.environ.get("MASP_TAPE_LEVELED", "0") == "1"
+        ):
+            ops, offsets, input_regs, aux_regs = self._leveled()
+            regs = native.replay_tape_leveled_native(ops, offsets, self.consts, inp)
+            ins = np.concatenate([_ints_to_u64x4([1]), regs[input_regs]], axis=0)
+            return ins, regs[aux_regs]
         if native.tape_available():
             regs = native.replay_tape_native(self.ops, self.consts, inp)
             ins = np.concatenate(

@@ -75,3 +75,22 @@ def test_tapeval_branch_guard():
         v == 3  # noqa: B015
     x = (v + 2) * 5 - 1
     assert x.val == (3 + 2) * 5 - 1
+
+
+@pytest.mark.parametrize("kind", ["output", "convert", "spend"])
+def test_leveled_replay_matches_sequential(kind, monkeypatch):
+    """The level-scheduled multithreaded replay is bit-identical to the
+    sequential interpreter (same tape, same instance)."""
+    from masp_tpu.circuits import witness_tape as WT
+
+    make = _fixture(kind, 9)
+    circ = make()
+    tape = WT.record_tape(circ)
+    leaves = WT.leaves_for(circ)
+
+    monkeypatch.setenv("MASP_TAPE_LEVELED", "0")
+    ins_seq, aux_seq = tape.replay(leaves)
+    monkeypatch.setenv("MASP_TAPE_LEVELED", "1")
+    ins_lvl, aux_lvl = tape.replay(leaves)
+    assert (ins_seq == ins_lvl).all()
+    assert (aux_seq == aux_lvl).all()
