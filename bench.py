@@ -17,6 +17,9 @@ exists but numbers are unpublished; see BASELINE.md).
 Env:
   MASP_BENCH_CIRCUIT=spend|output|convert   (default spend)
   MASP_BENCH_ITERS=N                (default 5; warmup prove always runs first)
+  MASP_BENCH_BATCH=B                (batch mode: B proofs through the
+                                     pipelined batch prover per iteration,
+                                     aggregate proofs/s reported)
   MASP_TRACE=1                      (print a span breakdown to stderr)
   MASP_PROFILE=<dir>                (dump an XProf device profile of the
                                      timed iterations into <dir>)
@@ -83,22 +86,33 @@ def main():
 
     from masp_tpu.utils import tracing
 
+    batch = int(os.environ.get("MASP_BENCH_BATCH", "0"))
     tracing.reset()
     t0 = time.time()
     with tracing.device_profile(os.environ.get("MASP_PROFILE")):
-        for i in range(iters):
-            cs = synthesize_witness(make_circuit())
-            proof = create_proof_from_assembly(cs, params, 100 + i, 200 + i)
-    dt = (time.time() - t0) / iters
+        if batch > 1:
+            from masp_tpu.groth16.prover import create_proofs_from_assemblies
+
+            for i in range(iters):
+                rs = [(100 + i + j, 200 + i + j) for j in range(batch)]
+                css = (synthesize_witness(make_circuit()) for _ in range(batch))
+                proofs = create_proofs_from_assemblies(css, params, rs)
+            proof = proofs[-1]
+        else:
+            for i in range(iters):
+                cs = synthesize_witness(make_circuit())
+                proof = create_proof_from_assembly(cs, params, 100 + i, 200 + i)
+    dt = (time.time() - t0) / (iters * max(1, batch))
     assert verify_proof(pvk, proof, public_inputs)
     if os.environ.get("MASP_TRACE") == "1":
         print(tracing.report(), file=sys.stderr)
 
     throughput = 1.0 / dt
+    label = f" (batch {batch})" if batch > 1 else ""
     print(
         json.dumps(
             {
-                "metric": f"{circuit_kind}-circuit Groth16 proofs/sec/chip",
+                "metric": f"{circuit_kind}-circuit Groth16 proofs/sec/chip{label}",
                 "value": round(throughput, 4),
                 "unit": "proofs/s",
                 "vs_baseline": round(throughput * ref_seconds, 3),
