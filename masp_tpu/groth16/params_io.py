@@ -218,9 +218,15 @@ def cached_test_params(name: str, circuit_factory, rng, cache_dir=None) -> Param
     circuit_factory().synthesize(shape_cs)
     digest = shape_cs.hash()[:12]
     path = cache_dir / f"{name}-{digest}.params"
+    # sidecar cache of the device-layout point rows (prover
+    # prepare_device_params): skips ~0.5M Python-int -> limb conversions
+    # per fresh process; "v2" = per-query power-of-two pads
+    rows_cache = cache_dir / f"{name}-{digest}.rows-v2.npz"
     if path.exists():
         with open(path, "rb") as f:
-            return Parameters.read(f, checked=False)
+            params = Parameters.read(f, checked=False)
+        params.rows_cache = str(rows_cache)
+        return params
     from masp_tpu.groth16.generator import generate_random_parameters
 
     params = generate_random_parameters(circuit_factory(), rng)
@@ -229,6 +235,7 @@ def cached_test_params(name: str, circuit_factory, rng, cache_dir=None) -> Param
     tmp = path.with_suffix(f".tmp-{os.getpid()}")
     tmp.write_bytes(params.write())
     os.replace(tmp, path)
+    params.rows_cache = str(rows_cache)
     return params
 
 

@@ -376,29 +376,61 @@ def prepare_device_params(params: Parameters, mesh=None) -> None:
 
     n_max = max(len(params.h), len(params.l), len(params.a), len(params.b_g1))
     if MSM_IMPL == "sorted" or mesh is not None:
-        from masp_tpu.ops import msm_sorted as MS
+        n_shared = _next_pow2(n_max)
+        params.device["n_g1"] = n_shared
+        # Production sizes: pad each query to its OWN power of two — the
+        # density-filtered b_g1 query is typically half the h/l pad (Spend:
+        # 62,170 points -> 2^16 vs the shared 2^17), so the sorted MSM does
+        # half the prefix-ladder work. Costs one extra compiled program per
+        # distinct size (persisted in the XLA cache). Small test/dryrun
+        # params keep the single shared program to bound CPU trace count.
+        per_query = n_shared >= (1 << 14) and not (mesh is None and MSM_STACK)
 
-        n_pad = _next_pow2(n_max)
-        params.device["n_g1"] = n_pad
-        rows = []
-        for name, pts in (("h", params.h), ("l", params.l), ("a", params.a), ("b_g1", params.b_g1)):
-            pts = list(pts) + [G1.identity()] * (n_pad - len(pts))
-            coords = tuple(np.asarray(x) for x in W.encode_g1_points(pts))
-            if mesh is None and MSM_STACK:
-                rows.append(np.concatenate([c.reshape(n_pad, -1) for c in coords], axis=1))
-            else:
-                params.device[name] = put(MS.pack_points(coords))
+        def _pack(coords, n):
+            return np.concatenate([np.asarray(c).reshape(n, -1) for c in coords], axis=1)
+
+        def _build_rows():
+            out = {}
+            for name, pts in (("h", params.h), ("l", params.l), ("a", params.a), ("b_g1", params.b_g1)):
+                n_pad = _next_pow2(len(pts)) if per_query else n_shared
+                if mesh is not None:
+                    n_pad = max(n_pad, mesh.shape["msm"])
+                pts = list(pts) + [G1.identity()] * (n_pad - len(pts))
+                out[name] = _pack(W.encode_g1_points(pts), n_pad)
+            n2_pad = _next_pow2(len(params.b_g2))
+            if mesh is not None:
+                n2_pad = max(n2_pad, mesh.shape["msm"])
+            pts2 = list(params.b_g2) + [G2.identity()] * (n2_pad - len(params.b_g2))
+            out["b_g2"] = _pack(W.encode_g2_points(pts2), n2_pad)
+            return out
+
+        # host-side rows cache: encoding ~0.5M points from Python ints to
+        # limb rows is tens of seconds of per-process host work — cache the
+        # packed arrays next to the params file (params_io sets rows_cache)
+        cache_path = getattr(params, "rows_cache", None)
+        use_cache = cache_path is not None and mesh is None and not MSM_STACK
+        host_rows = None
+        if use_cache and os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                host_rows = {k: z[k] for k in ("h", "l", "a", "b_g1", "b_g2")}
+        if host_rows is None:
+            host_rows = _build_rows()
+            if use_cache:
+                tmp = f"{cache_path}.tmp-{os.getpid()}"
+                np.savez(tmp, **host_rows)  # savez appends .npz to tmp
+                os.replace(tmp + ".npz", cache_path)
+
         if mesh is None and MSM_STACK:
             # one (4, N, 72) stack: the four G1 MSMs as a single vmapped
             # program (measured slower on v5e — see MSM_STACK above)
-            params.device["g1_stack"] = jax.device_put(np.stack(rows))
+            params.device["g1_stack"] = jax.device_put(
+                np.stack([host_rows[k] for k in ("h", "l", "a", "b_g1")])
+            )
             params.device["g1_index"] = {"h": 0, "l": 1, "a": 2, "b_g1": 3}
-        n2_pad = _next_pow2(len(params.b_g2))
-        if mesh is not None:
-            n2_pad = max(n2_pad, mesh.shape["msm"])
-        pts2 = list(params.b_g2) + [G2.identity()] * (n2_pad - len(params.b_g2))
-        coords2 = tuple(jnp.asarray(x) for x in W.encode_g2_points(pts2))
-        params.device["b_g2"] = put(MS.pack_points(coords2))
+        else:
+            for name in ("h", "l", "a", "b_g1"):
+                params.device[name] = put(host_rows[name])
+        params.device["b_g2"] = put(host_rows["b_g2"])
         return
     params.device["n_g1"] = _pad_to(n_max, MSM_LANES_G1)
     n_pad = params.device["n_g1"]
@@ -621,13 +653,19 @@ def create_proofs_from_assemblies(
         a_exps_u64 = full_u64[a_density]
         b_exps_u64 = full_u64[b_density]
         l_dev = _msm_g1_async(
-            params.device["l"], _digits_from_u64(aux_u64, n_g1), mesh=mesh
+            params.device["l"],
+            _digits_from_u64(aux_u64, _dev_n(params.device["l"])),
+            mesh=mesh,
         )
         a_dev = _msm_g1_async(
-            params.device["a"], _digits_from_u64(a_exps_u64, n_g1), mesh=mesh
+            params.device["a"],
+            _digits_from_u64(a_exps_u64, _dev_n(params.device["a"])),
+            mesh=mesh,
         )
         b1_dev = _msm_g1_async(
-            params.device["b_g1"], _digits_from_u64(b_exps_u64, n_g1), mesh=mesh
+            params.device["b_g1"],
+            _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g1"])),
+            mesh=mesh,
         )
         b2_dev = _msm_g2_async(
             params.device["b_g2"],
