@@ -78,6 +78,11 @@ def test_spend_constraint_count_shape():
     Spend().synthesize(cs)
     assert cs.num_constraints == 100_637
     assert cs.num_inputs == 8  # 7 + ONE
+    # full structure digest, bit-exact vs the reference pin
+    # (masp_proofs/src/circuit/sapling.rs:733,:926)
+    assert cs.hash() == (
+        "34e4a634c80e4e4c6250e63b7855532e60b36d1371d4d7b1163218b69f09eb3d"
+    )
 
 
 def test_output_constraint_count_shape():
@@ -85,6 +90,10 @@ def test_output_constraint_count_shape():
     Output().synthesize(cs)
     assert cs.num_constraints == 31_205
     assert cs.num_inputs == 6  # 5 + ONE
+    # reference pin: masp_proofs/src/circuit/sapling.rs:1026
+    assert cs.hash() == (
+        "93e445d7858e98c7138558df341f020aedfe75893535025587d64731e244276a"
+    )
 
 
 def test_convert_constraint_count_shape():
@@ -92,6 +101,10 @@ def test_convert_constraint_count_shape():
     Convert().synthesize(cs)
     assert cs.num_constraints == 47_358
     assert cs.num_inputs == 4  # 3 + ONE
+    # reference pin: masp_proofs/src/circuit/convert.rs:221
+    assert cs.hash() == (
+        "f74b47ef6e59081548f81f5806bd15b1f4a65d2e57681e6db2b8db7eef2ff814"
+    )
 
 
 @pytest.mark.slow

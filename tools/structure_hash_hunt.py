@@ -20,10 +20,14 @@ sys.path.insert(0, ".")
 
 import masp_tpu.ops.field_jax as F  # noqa: E402
 
+# Exact pinned digests from the reference:
+#   spend:   masp_proofs/src/circuit/sapling.rs:733 (and :926)
+#   output:  masp_proofs/src/circuit/sapling.rs:1026
+#   convert: masp_proofs/src/circuit/convert.rs:221
 PINNED = {
     "spend": "34e4a634c80e4e4c6250e63b7855532e60b36d1371d4d7b1163218b69f09eb3d",
-    "output": "93e445d7e198e4a27971a34a25fe4e32eee4ba3c9dfc3f3dcf1be41ebf0e0e52",
-    "convert": "f74b47ef32c5b4d8fff5f8f449e98e1f92a423cb338a1a1a14c0a98ad54a17f3",
+    "output": "93e445d7858e98c7138558df341f020aedfe75893535025587d64731e244276a",
+    "convert": "f74b47ef6e59081548f81f5806bd15b1f4a65d2e57681e6db2b8db7eef2ff814",
 }
 
 
