@@ -88,26 +88,38 @@ def main():
 
     batch = int(os.environ.get("MASP_BENCH_BATCH", "0"))
     tracing.reset()
-    t0 = time.time()
+    # per-iteration samples -> median + spread, criterion-style (the
+    # reference benches with criterion sample_size=10,
+    # masp_proofs/benches/sapling.rs:89-92); single axon-chip runs vary
+    # 0.97-1.64 proofs/s so a mean of one run over-reads noise.
+    samples = []
     with tracing.device_profile(os.environ.get("MASP_PROFILE")):
         if batch > 1:
             from masp_tpu.groth16.prover import create_proofs_from_assemblies
 
             for i in range(iters):
+                t0 = time.time()
                 rs = [(100 + i + j, 200 + i + j) for j in range(batch)]
                 css = (synthesize_witness(make_circuit()) for _ in range(batch))
                 proofs = create_proofs_from_assemblies(css, params, rs)
+                samples.append((time.time() - t0) / batch)
             proof = proofs[-1]
         else:
             for i in range(iters):
+                t0 = time.time()
                 cs = synthesize_witness(make_circuit())
                 proof = create_proof_from_assembly(cs, params, 100 + i, 200 + i)
-    dt = (time.time() - t0) / (iters * max(1, batch))
+                samples.append(time.time() - t0)
     assert verify_proof(pvk, proof, public_inputs)
     if os.environ.get("MASP_TRACE") == "1":
         print(tracing.report(), file=sys.stderr)
 
-    throughput = 1.0 / dt
+    samples.sort()
+    n = len(samples)
+    median = (
+        samples[n // 2] if n % 2 else (samples[n // 2 - 1] + samples[n // 2]) / 2
+    )
+    throughput = 1.0 / median
     label = f" (batch {batch})" if batch > 1 else ""
     print(
         json.dumps(
@@ -116,6 +128,10 @@ def main():
                 "value": round(throughput, 4),
                 "unit": "proofs/s",
                 "vs_baseline": round(throughput * ref_seconds, 3),
+                "median_s": round(median, 4),
+                "min_s": round(samples[0], 4),
+                "max_s": round(samples[-1], 4),
+                "iters": n,
             }
         )
     )
