@@ -3,6 +3,8 @@ per-process array stitching (single-process semantics; the multi-process
 paths are exercised structurally — jax.distributed itself needs a real
 cluster)."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -59,3 +61,24 @@ def test_global_from_local_shards_rows():
     assert arr.shape == rows.shape
     np.testing.assert_array_equal(np.asarray(arr), rows)
     assert len(arr.sharding.device_set) == n
+
+
+@pytest.mark.skipif(
+    os.environ.get("MASP_DISTRIBUTED") != "1",
+    reason="multi-process run is slow (XLA mesh-prover compile); MASP_DISTRIBUTED=1",
+)
+def test_two_process_distributed_demo():
+    """Actually executes jax.distributed.initialize across 2 local
+    processes (tools/distributed_demo.py): pod_mesh over 2x4 CPU devices,
+    local_job_slice/global_from_local, a shard_map psum, and the real mesh
+    prover checked against the host bigint reference on every process."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "distributed_demo.py")],
+        capture_output=True, text=True, timeout=3600, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert proc.stdout.count("DISTRIBUTED DEMO PASS") == 2
