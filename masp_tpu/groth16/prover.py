@@ -28,7 +28,12 @@ from masp_tpu.utils.tracing import span
 # window width: 8 on TPU (bucket phases are cheap there); 4 halves the
 # serial bucket-reduction length for CPU test/dryrun runs (B=16 vs 256)
 MSM_C = int(os.environ.get("MASP_MSM_C", "8"))
-assert MSM_C in (4, 8), "digit extraction supports c=4 or c=8"
+assert 2 <= MSM_C <= 16, "window width out of range"
+# balanced signed digits (round-3): digit extraction moves on-device
+# (scalars ship as their native 16-bit-limb rows — no host digit
+# marshalling) and bucket count halves to 2^(c-1)+1. Only the sorted
+# MSM implements it; the legacy lanes impl and MSM_STACK stay unsigned.
+MSM_SIGNED = os.environ.get("MASP_MSM_SIGNED", "1") == "1"
 # lanes tuned empirically on v5e: 256 lanes cuts main-loop steps but the
 # sequential lane-combine then dominates (Output got 30% slower); 64 is
 # the round-1 sweet spot.
@@ -41,6 +46,7 @@ MSM_IMPL = os.environ.get("MASP_MSM", "sorted")
 # SLOWER on v5e (vmapped per-window gather lowers poorly) — keep the
 # separate async dispatches; flag retained for re-evaluation
 MSM_STACK = os.environ.get("MASP_MSM_STACK", "0") == "1"
+MSM_SIGNED = MSM_SIGNED and MSM_IMPL == "sorted" and not MSM_STACK
 
 
 def _eval_lc_rows(rows, inputs, aux):
@@ -119,10 +125,29 @@ def _digits_from_u64(arr: np.ndarray, n_padded: int) -> np.ndarray:
         out = np.zeros((n_padded, 32), dtype=np.int32)
         out[:n] = b
         return out
+    assert MSM_C == 4, "host digit extraction supports c=4 or c=8"
     out = np.zeros((n_padded, 64), dtype=np.int32)
     out[:n, 0::2] = b & 0xF
     out[:n, 1::2] = b >> 4
     return out
+
+
+def _limbs_from_u64(arr: np.ndarray, n_padded: int) -> np.ndarray:
+    """(n, 4) u64 LE scalars -> (n_padded, 16) u32 16-bit limb rows for
+    on-device digit extraction (msm_sorted.windows_from_limbs) — a
+    reinterpret + widen, no per-digit host work."""
+    n = arr.shape[0]
+    out = np.zeros((n_padded, 16), dtype=np.uint32)
+    out[:n] = _u64x4_to_limbs16(arr)
+    return out
+
+
+def _scalar_input(arr: np.ndarray, n_padded: int) -> np.ndarray:
+    """Scalar-side MSM input in the active layout: limb rows (signed
+    device extraction) or host-extracted digits."""
+    if MSM_IMPL == "sorted" and MSM_SIGNED:
+        return _limbs_from_u64(arr, n_padded)
+    return _digits_from_u64(arr, n_padded)
 
 
 def _h_digits_device(h_bytes):
@@ -132,6 +157,20 @@ def _h_digits_device(h_bytes):
     lo = h_bytes & 0xF
     hi = h_bytes >> 4
     return jnp.stack([lo, hi], axis=-1).reshape(h_bytes.shape[0], 64)
+
+
+def _h_scalar_input(h_coeffs, m: int, n_g1: int):
+    """Scalar-side MSM input for the h query, staying on device.
+
+    Signed/limbs layout: Montgomery -> canonical limb rows (the MSM
+    program extracts windows in-graph). Legacy layout: byte digits."""
+    if MSM_SIGNED:
+        h_limbs = F.from_mont(FR, h_coeffs[: m - 1])  # (m-1, L) canonical
+        out = jnp.zeros((n_g1, FR.L), dtype=h_limbs.dtype)
+        return out.at[: m - 1].set(h_limbs)
+    h_digits_full = _h_digits_device(M.fr_digits_device(h_coeffs[: m - 1]))
+    out = jnp.zeros((n_g1, h_digits_full.shape[1]), dtype=jnp.int32)
+    return out.at[: m - 1].set(h_digits_full)
 
 
 def _compute_abc_limbs(cs, m):
@@ -218,11 +257,14 @@ def _msm_g1_async(points_dev, digits, mesh=None):
     if mesh is not None:
         from masp_tpu.parallel import mesh as PM
 
-        key = ("msm_g1_mesh", points_dev.shape[0], _mesh_key(mesh))
+        key = ("msm_g1_mesh", points_dev.shape[0], _mesh_key(mesh), MSM_SIGNED)
         fn = _JIT_CACHE.get(key)
         if fn is None:
             def run(packed, d):
-                return PM.sharded_sorted_msm(mesh, W.G1Ops, packed, d, MSM_C, axis="msm")
+                return PM.sharded_sorted_msm(
+                    mesh, W.G1Ops, packed, d, MSM_C, axis="msm",
+                    from_limbs=MSM_SIGNED, signed=MSM_SIGNED,
+                )
 
             fn = jax.jit(run)
             _JIT_CACHE[key] = fn
@@ -230,11 +272,15 @@ def _msm_g1_async(points_dev, digits, mesh=None):
     if MSM_IMPL == "sorted":
         from masp_tpu.ops import msm_sorted as MS
 
-        key = ("msm_g1_sorted", points_dev.shape[0])
+        key = ("msm_g1_sorted", points_dev.shape[0], MSM_SIGNED)
         fn = _JIT_CACHE.get(key)
         if fn is None:
-            def run(packed, d):
-                return MS.sorted_msm(W.G1Ops, packed, d, MSM_C)
+            if MSM_SIGNED:
+                def run(packed, d):
+                    return MS.sorted_msm_from_limbs(W.G1Ops, packed, d, MSM_C)
+            else:
+                def run(packed, d):
+                    return MS.sorted_msm(W.G1Ops, packed, d, MSM_C)
 
             fn = jax.jit(run)
             _JIT_CACHE[key] = fn
@@ -254,11 +300,14 @@ def _msm_g2_async(points_dev, digits, mesh=None):
     if mesh is not None:
         from masp_tpu.parallel import mesh as PM
 
-        key = ("msm_g2_mesh", points_dev.shape[0], _mesh_key(mesh))
+        key = ("msm_g2_mesh", points_dev.shape[0], _mesh_key(mesh), MSM_SIGNED)
         fn = _JIT_CACHE.get(key)
         if fn is None:
             def run(packed, d):
-                return PM.sharded_sorted_msm(mesh, W.G2Ops, packed, d, MSM_C, axis="msm")
+                return PM.sharded_sorted_msm(
+                    mesh, W.G2Ops, packed, d, MSM_C, axis="msm",
+                    from_limbs=MSM_SIGNED, signed=MSM_SIGNED,
+                )
 
             fn = jax.jit(run)
             _JIT_CACHE[key] = fn
@@ -266,11 +315,15 @@ def _msm_g2_async(points_dev, digits, mesh=None):
     if MSM_IMPL == "sorted":
         from masp_tpu.ops import msm_sorted as MS
 
-        key = ("msm_g2_sorted", points_dev.shape[0])
+        key = ("msm_g2_sorted", points_dev.shape[0], MSM_SIGNED)
         fn = _JIT_CACHE.get(key)
         if fn is None:
-            def run(packed, d):
-                return MS.sorted_msm(W.G2Ops, packed, d, MSM_C)
+            if MSM_SIGNED:
+                def run(packed, d):
+                    return MS.sorted_msm_from_limbs(W.G2Ops, packed, d, MSM_C)
+            else:
+                def run(packed, d):
+                    return MS.sorted_msm(W.G2Ops, packed, d, MSM_C)
 
             fn = jax.jit(run)
             _JIT_CACHE[key] = fn
@@ -501,10 +554,8 @@ def create_proof_from_assembly(
         stacked = "g1_stack" in params.device
         n_g1 = params.device["n_g1"] if stacked else _dev_n(params.device["h"])
 
-        # digits for h on device (canonical bytes -> c-bit windows)
-        h_digits_full = _h_digits_device(M.fr_digits_device(h_coeffs[: m - 1]))
-        h_digits = jnp.zeros((n_g1, 256 // MSM_C), dtype=jnp.int32)
-        h_digits = h_digits.at[: m - 1].set(h_digits_full)
+        # h scalars stay on device (limb rows or byte digits)
+        h_digits = _h_scalar_input(h_coeffs, m, n_g1)
 
         if not stacked:
             h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
@@ -553,22 +604,22 @@ def create_proof_from_assembly(
         with span("msm_enqueue"):
             l_dev = _msm_g1_async(
                 params.device["l"],
-                _digits_from_u64(aux_u64, _dev_n(params.device["l"])),
+                _scalar_input(aux_u64, _dev_n(params.device["l"])),
                 mesh=mesh,
             )
             a_dev = _msm_g1_async(
                 params.device["a"],
-                _digits_from_u64(a_exps_u64, _dev_n(params.device["a"])),
+                _scalar_input(a_exps_u64, _dev_n(params.device["a"])),
                 mesh=mesh,
             )
             b1_dev = _msm_g1_async(
                 params.device["b_g1"],
-                _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g1"])),
+                _scalar_input(b_exps_u64, _dev_n(params.device["b_g1"])),
                 mesh=mesh,
             )
             b2_dev = _msm_g2_async(
                 params.device["b_g2"],
-                _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g2"])),
+                _scalar_input(b_exps_u64, _dev_n(params.device["b_g2"])),
                 mesh=mesh,
             )
         with span("msm_fetch"):
@@ -637,9 +688,7 @@ def create_proofs_from_assemblies(
 
         az, bz, cz = _compute_abc_limbs(cs, m)
         h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)
-        h_digits_full = _h_digits_device(M.fr_digits_device(h_coeffs[: m - 1]))
-        h_digits = jnp.zeros((n_g1, 256 // MSM_C), dtype=jnp.int32)
-        h_digits = h_digits.at[: m - 1].set(h_digits_full)
+        h_digits = _h_scalar_input(h_coeffs, m, n_g1)
         h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
 
         dkey = ("density", cs.num_constraints, cs.num_inputs, cs.num_aux)
@@ -654,22 +703,22 @@ def create_proofs_from_assemblies(
         b_exps_u64 = full_u64[b_density]
         l_dev = _msm_g1_async(
             params.device["l"],
-            _digits_from_u64(aux_u64, _dev_n(params.device["l"])),
+            _scalar_input(aux_u64, _dev_n(params.device["l"])),
             mesh=mesh,
         )
         a_dev = _msm_g1_async(
             params.device["a"],
-            _digits_from_u64(a_exps_u64, _dev_n(params.device["a"])),
+            _scalar_input(a_exps_u64, _dev_n(params.device["a"])),
             mesh=mesh,
         )
         b1_dev = _msm_g1_async(
             params.device["b_g1"],
-            _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g1"])),
+            _scalar_input(b_exps_u64, _dev_n(params.device["b_g1"])),
             mesh=mesh,
         )
         b2_dev = _msm_g2_async(
             params.device["b_g2"],
-            _digits_from_u64(b_exps_u64, _dev_n(params.device["b_g2"])),
+            _scalar_input(b_exps_u64, _dev_n(params.device["b_g2"])),
             mesh=mesh,
         )
         pending.append((r, s, h_dev, l_dev, a_dev, b1_dev, b2_dev))

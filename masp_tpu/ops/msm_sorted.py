@@ -37,6 +37,54 @@ from masp_tpu.ops import weierstrass_jax as W
 from masp_tpu.ops.msm import _traced_identity
 
 
+def n_windows_for(c: int, signed: bool = False) -> int:
+    """Window count for 255-bit scalars: ceil(255/c), plus one extra
+    all-carry window when the signed conversion's final carry would not
+    fit the top window's headroom (max top digit + carry must stay
+    <= 2^(c-1) so it is never itself converted)."""
+    assert 2 <= c <= 16, c
+    W_ = -(-255 // c)
+    if signed:
+        t_bits = 255 - c * (W_ - 1)  # bits landing in the top window
+        if (1 << t_bits) > (1 << (c - 1)):
+            W_ += 1
+    return W_
+
+
+def windows_from_limbs(limbs16, c: int, signed: bool = False):
+    """Device digit extraction: (N, 16) canonical 16-bit Fr limbs (LE, as
+    uint32) -> (N, W) int32 window digits, W = n_windows_for(c, signed).
+
+    With ``signed`` the digits are carry-converted to the balanced
+    representation d in [-2^(c-1), 2^(c-1)] (bucket count halves to
+    2^(c-1)+1): whenever d > 2^(c-1), emit d - 2^c and carry 1. The top
+    window absorbs the final carry without overflow (n_windows_for adds a
+    window when the spill bits leave no headroom). Runs inside the
+    caller's jit, so host digit marshalling disappears."""
+    W_ = n_windows_for(c, signed)
+    idx = np.minimum(np.arange(W_) * c // 16, 15)
+    off = jnp.asarray((np.arange(W_) * c % 16).astype(np.uint32))
+    lo = limbs16[:, idx]
+    hi = limbs16[:, np.minimum(idx + 1, 15)]
+    pair = lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << jnp.uint32(16))
+    # per-window mask: only bits < 256 are real (scalars are < 2^255);
+    # positions past limb 15 alias limb 15 through the clipped gather
+    valid = np.clip(256 - np.arange(W_) * c, 0, c)
+    wmask = jnp.asarray(((1 << valid) - 1).astype(np.uint32))
+    d = ((pair >> off[None, :]) & wmask[None, :]).astype(jnp.int32)
+    if not signed:
+        return d
+    half = 1 << (c - 1)
+
+    def body(carry, dw):
+        dw = dw + carry
+        conv = dw > half
+        return conv.astype(jnp.int32), jnp.where(conv, dw - (1 << c), dw)
+
+    _, out = jax.lax.scan(body, jnp.zeros((limbs16.shape[0],), jnp.int32), d.T)
+    return out.T
+
+
 def pack_points(points_xyz):
     """3 coord arrays (N, ...) -> (N, 3*prod(cshape)) u32 rows."""
     n = points_xyz[0].shape[0]
@@ -108,18 +156,28 @@ def bucket_reduce_horner(fops, buckets, c: int, like):
     return tuple(s[0] for s in acc)
 
 
-def window_buckets(fops, points_packed, digits, c: int):
+def window_buckets(fops, points_packed, digits, c: int, signed: bool = False):
     """Per-window bucket sums (W, B, ...) — the data-parallel bulk of the
     MSM (everything except the final bucket-weighted reduction). Separated
     out so the mesh path can compute shard-local buckets and tree-reduce
-    them across devices before one shared reduction."""
+    them across devices before one shared reduction.
+
+    With ``signed``, digits are balanced in [-2^(c-1), 2^(c-1)]
+    (windows_from_limbs(signed=True)): points with negative digits enter
+    the prefix tree negated, and the bucket count drops to B = 2^(c-1)+1
+    — halving the B*(log2 N + 2) bucket-query adds per window."""
     N = points_packed.shape[0]
     n_windows = digits.shape[1]
-    B = 1 << c
+    B = (1 << (c - 1)) + 1 if signed else 1 << c
     levels = (N - 1).bit_length()
     assert N == 1 << levels, "pad N to a power of two"
 
-    keys = digits.T.astype(jnp.int32)  # (W, N)
+    if signed:
+        keys = jnp.abs(digits).T.astype(jnp.int32)  # (W, N)
+        signs = (digits < 0).T.astype(jnp.int32)     # (W, N)
+    else:
+        keys = digits.T.astype(jnp.int32)  # (W, N)
+        signs = jnp.zeros_like(keys)
     iota = jnp.arange(N, dtype=jnp.int32)
     sorted_keys, perm = jax.vmap(lambda k: jax.lax.sort_key_val(k, iota))(keys)
     # bounds[w, k] = #{digits[:, w] <= k}  (exclusive prefix boundary)
@@ -132,9 +190,12 @@ def window_buckets(fops, points_packed, digits, c: int):
     like = _unpack(fops, points_packed)[0]
 
     def win_body(_, inp):
-        perm_w, bounds_w = inp
+        perm_w, bounds_w, signs_w = inp
         rows = jnp.take(points_packed, perm_w, axis=0)  # (N, rowlen)
         cur = _unpack(fops, rows)
+        if signed:
+            sg = jnp.take(signs_w, perm_w)
+            cur = W.point_select(sg, _g_neg(fops, cur), cur)
 
         # up-sweep: nodes[l][j] = sum of sorted points [j*2^l, (j+1)*2^l)
         nodes = [cur]
@@ -167,36 +228,47 @@ def window_buckets(fops, points_packed, digits, c: int):
         bucket = W.g_add(fops, acc, _g_neg(fops, qprev))
         return 0, bucket
 
-    _, buckets = jax.lax.scan(win_body, 0, (perm, bounds))  # (W, B, ...)
+    _, buckets = jax.lax.scan(win_body, 0, (perm, bounds, signs))  # (W, B, ...)
     return buckets
 
 
-def sorted_msm(fops, points_packed, digits, c: int):
+def sorted_msm(fops, points_packed, digits, c: int, signed: bool = False):
     """sum_i [s_i] P_i.
 
     points_packed: (N, 3*prod(cshape)) u32 packed projective rows
-    (pack_points); digits: (N, W) int32 c-bit windows. N must be a power
-    of two (pad with identity rows + zero digits). Returns one projective
-    point (coords with no batch axis).
+    (pack_points); digits: (N, W) int32 c-bit windows (balanced when
+    ``signed``). N must be a power of two (pad with identity rows + zero
+    digits). Returns one projective point (coords with no batch axis).
     """
-    buckets = window_buckets(fops, points_packed, digits, c)
+    buckets = window_buckets(fops, points_packed, digits, c, signed=signed)
     like = _unpack(fops, points_packed)[0]
     return bucket_reduce_horner(fops, buckets, c, like)
 
 
-def sorted_msm_batch(fops, points_packed, digits, c: int):
+def sorted_msm_from_limbs(fops, points_packed, limbs16, c: int,
+                          signed: bool = True):
+    """sorted_msm with in-graph digit extraction: limbs16 is the (N, 16)
+    canonical 16-bit-limb scalar array (the native field layout — a
+    reinterpret of the witness u64 words, no host digit marshalling).
+    Balanced signed digits by default."""
+    digits = windows_from_limbs(limbs16, c, signed=signed)
+    return sorted_msm(fops, points_packed, digits, c, signed=signed)
+
+
+def sorted_msm_batch(fops, points_packed, digits, c: int, signed: bool = False):
     """Q independent MSMs in one program: points_packed (Q, N, rowlen),
     digits (Q, N, W) -> coords with a leading Q axis.
 
     Batching the MSMs (the prover's four same-size G1 queries, or a
     proof batch) keeps the small upper ladder levels and the bucket
     reduction — tiny kernels when run alone — filled Q-wide."""
-    return jax.vmap(lambda pk, d: sorted_msm(fops, pk, d, c))(
+    return jax.vmap(lambda pk, d: sorted_msm(fops, pk, d, c, signed=signed))(
         points_packed, digits
     )
 
 
 __all__ = [
-    "sorted_msm", "sorted_msm_batch", "window_buckets", "pack_points",
-    "bucket_reduce_horner",
+    "sorted_msm", "sorted_msm_batch", "sorted_msm_from_limbs",
+    "window_buckets", "pack_points", "bucket_reduce_horner",
+    "windows_from_limbs", "n_windows_for",
 ]

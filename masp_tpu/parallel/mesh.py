@@ -133,7 +133,8 @@ def sharded_ntt(mesh: Mesh, dom, x, axis: str = "ntt", inverse: bool = False):
 
 
 def sharded_sorted_msm(mesh: Mesh, fops, points_packed, digits, c: int,
-                       axis: str = "msm"):
+                       axis: str = "msm", from_limbs: bool = False,
+                       signed: bool = False):
     """Sorted-prefix MSM (ops/msm_sorted.py) with the point axis sharded.
 
     Each device computes bucket sums over its own point shard (ICI-free:
@@ -143,7 +144,11 @@ def sharded_sorted_msm(mesh: Mesh, fops, points_packed, digits, c: int,
     Communication: log2(D) * W * B point rows on ICI.
 
     points_packed: (N, rowlen) packed rows, N divisible by the axis size;
-    digits: (N, W). Returns one projective point, replicated.
+    digits: (N, W) window digits — or, with ``from_limbs``, (N, 16)
+    canonical 16-bit limb rows extracted in-graph per shard (digit
+    extraction is per-row, so it needs no communication). ``signed``
+    selects balanced digits (B = 2^(c-1)+1). Returns one projective
+    point, replicated.
     """
     from masp_tpu.ops import msm_sorted as MS
 
@@ -156,7 +161,9 @@ def sharded_sorted_msm(mesh: Mesh, fops, points_packed, digits, c: int,
         out_specs=P(), check_vma=False,
     )
     def body(pk, dg):
-        buckets = MS.window_buckets(fops, pk, dg, c)  # (W, B, ...) local
+        if from_limbs:
+            dg = MS.windows_from_limbs(dg, c, signed=signed)
+        buckets = MS.window_buckets(fops, pk, dg, c, signed=signed)  # (W, B, ...) local
         n_windows, B = buckets[0].shape[0], buckets[0].shape[1]
 
         def flat(t):

@@ -56,6 +56,73 @@ def test_sorted_msm_matches_pippenger():
     assert a == b
 
 
+def _limbs16(scalars):
+    out = np.zeros((len(scalars), 16), dtype=np.uint32)
+    for i, s in enumerate(scalars):
+        for j in range(16):
+            out[i, j] = (s >> (16 * j)) & 0xFFFF
+    return out
+
+
+@pytest.mark.parametrize("c", [2, 5, 8, 11, 16])
+@pytest.mark.parametrize("signed", [False, True])
+def test_windows_from_limbs_exact(c, signed):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    scalars = _rand_scalars(rng, 32)
+    scalars[0] = 0
+    scalars[1] = R - 1
+    scalars[2] = 1
+    d = np.asarray(
+        MS.windows_from_limbs(jnp.asarray(_limbs16(scalars)), c, signed=signed)
+    )
+    W_ = MS.n_windows_for(c, signed)
+    assert d.shape == (32, W_)
+    if signed:
+        half = 1 << (c - 1)
+        assert d.min() >= -half and d.max() <= half
+    for i, s in enumerate(scalars):
+        assert sum(int(d[i, w]) << (c * w) for w in range(W_)) == s
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_sorted_msm_from_limbs_signed_g1(c):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    n = 64
+    g = G1.generator()
+    points = [g * int(rng.integers(1, 1 << 62)) for _ in range(n)]
+    points[7] = G1.identity()
+    scalars = _rand_scalars(rng, n)
+    scalars[3] = 0
+    coords = [np.asarray(x) for x in W.encode_g1_points(points)]
+    packed = MS.pack_points(tuple(coords))
+    out = MS.sorted_msm_from_limbs(
+        W.G1Ops, packed, jnp.asarray(_limbs16(scalars)), c, signed=True
+    )
+    got = W.decode_g1_points(*(np.asarray(x)[None] for x in out))[0]
+    assert got == _host_msm(points, scalars)
+
+
+def test_sorted_msm_from_limbs_signed_g2():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    n = 16
+    g = G2.generator()
+    points = [g * int(rng.integers(1, 1 << 62)) for _ in range(n)]
+    scalars = _rand_scalars(rng, n)
+    coords = [np.asarray(x) for x in W.encode_g2_points(points)]
+    packed = MS.pack_points(tuple(coords))
+    out = MS.sorted_msm_from_limbs(
+        W.G2Ops, packed, jnp.asarray(_limbs16(scalars)), 8, signed=True
+    )
+    got = W.decode_g2_points(*(np.asarray(x)[None] for x in out))[0]
+    assert got == _host_msm(points, scalars)
+
+
 def test_sorted_msm_g2():
     rng = np.random.default_rng(9)
     n = 32

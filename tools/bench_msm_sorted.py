@@ -62,6 +62,22 @@ def main():
         sorted_g2 = jax.jit(lambda pk, d: MS.sorted_msm(W.G2Ops, pk, d, 8))
         timeit(f"sorted_msm G2 2^{logn2}", sorted_g2, packed2, digits2)
 
+    if os.environ.get("MSM_SWEEP_C"):
+        # signed-digit window-width sweep (round-3): digits extracted
+        # in-graph from 16-bit limb rows, balanced representation
+        limbs_np = rng.integers(0, 1 << 16, (N, 16), dtype=np.uint32)
+        limbs_np[:, 15] &= 0x7FFF  # < 2^255, the scalar-field envelope
+        limbs = jnp.asarray(limbs_np)
+        for c in (int(x) for x in os.environ["MSM_SWEEP_C"].split(",")):
+            fn = jax.jit(
+                lambda pk, l, c=c: MS.sorted_msm_from_limbs(
+                    W.G1Ops, pk, l, c, signed=True
+                )
+            )
+            t = timeit(f"signed sorted_msm G1 2^{logn} c={c}", fn, packed1, limbs)
+            w = MS.n_windows_for(c, True)
+            print(f"  -> {N*w/t/1e6:.1f} M tree-adds/s, W={w}", flush=True)
+
     if os.environ.get("MSM_BENCH_PIP", "0") == "1":
         pip_g1 = jax.jit(
             lambda x, y, z, d: M.pippenger_msm(W.G1Ops, (x, y, z), d, c=8, lanes=64)
