@@ -29,11 +29,16 @@ from masp_tpu.utils.tracing import span
 # serial bucket-reduction length for CPU test/dryrun runs (B=16 vs 256)
 MSM_C = int(os.environ.get("MASP_MSM_C", "8"))
 assert 2 <= MSM_C <= 16, "window width out of range"
-# balanced signed digits (round-3): digit extraction moves on-device
-# (scalars ship as their native 16-bit-limb rows — no host digit
-# marshalling) and bucket count halves to 2^(c-1)+1. Only the sorted
-# MSM implements it; the legacy lanes impl and MSM_STACK stay unsigned.
-MSM_SIGNED = os.environ.get("MASP_MSM_SIGNED", "1") == "1"
+# round-3 digit flow: scalars ship to the device as their native 16-bit
+# limb rows and the MSM program extracts windows in-graph — the ~0.2 s
+# of per-proof host digit marshalling disappears. Balanced signed digits
+# (MASP_MSM_SIGNED=1) halve the bucket count but measured SLOWER on v5e
+# (the per-window conditional negation re-touches all N gathered rows:
+# 2^17 G1 signed c=8/10/11 = 188/169/184 ms vs 146 ms unsigned c=8), so
+# unsigned extraction is the default. Only the sorted MSM implements
+# device extraction; the legacy lanes impl and MSM_STACK keep host digits.
+MSM_SIGNED = os.environ.get("MASP_MSM_SIGNED", "0") == "1"
+MSM_FROM_LIMBS = os.environ.get("MASP_MSM_FROM_LIMBS", "1") == "1"
 # lanes tuned empirically on v5e: 256 lanes cuts main-loop steps but the
 # sequential lane-combine then dominates (Output got 30% slower); 64 is
 # the round-1 sweet spot.
@@ -46,7 +51,17 @@ MSM_IMPL = os.environ.get("MASP_MSM", "sorted")
 # SLOWER on v5e (vmapped per-window gather lowers poorly) — keep the
 # separate async dispatches; flag retained for re-evaluation
 MSM_STACK = os.environ.get("MASP_MSM_STACK", "0") == "1"
-MSM_SIGNED = MSM_SIGNED and MSM_IMPL == "sorted" and not MSM_STACK
+MSM_FROM_LIMBS = MSM_FROM_LIMBS and MSM_IMPL == "sorted" and not MSM_STACK
+MSM_SIGNED = MSM_SIGNED and MSM_FROM_LIMBS
+# round-3 boolean split: most l/a/b exponents are bit-decomposition wires
+# whose values the R1CS forces into {0,1} (Spend: the blake2s and Merkle
+# gadgets). A {0,1}-scalar multi-exp needs ONE window instead of
+# ceil(255/c)=32, so each query is split statically into a bits part and
+# a full-width part (prepare_split_queries; masks from _boolean_var_mask)
+MSM_SPLIT = os.environ.get("MASP_MSM_SPLIT", "1") == "1"
+MSM_SPLIT = MSM_SPLIT and MSM_IMPL == "sorted" and not MSM_STACK
+# below this many bit wires the split isn't worth the extra dispatches
+MSM_SPLIT_MIN = int(os.environ.get("MASP_MSM_SPLIT_MIN", "4096"))
 
 
 def _eval_lc_rows(rows, inputs, aux):
@@ -145,7 +160,7 @@ def _limbs_from_u64(arr: np.ndarray, n_padded: int) -> np.ndarray:
 def _scalar_input(arr: np.ndarray, n_padded: int) -> np.ndarray:
     """Scalar-side MSM input in the active layout: limb rows (signed
     device extraction) or host-extracted digits."""
-    if MSM_IMPL == "sorted" and MSM_SIGNED:
+    if MSM_FROM_LIMBS:
         return _limbs_from_u64(arr, n_padded)
     return _digits_from_u64(arr, n_padded)
 
@@ -164,13 +179,245 @@ def _h_scalar_input(h_coeffs, m: int, n_g1: int):
 
     Signed/limbs layout: Montgomery -> canonical limb rows (the MSM
     program extracts windows in-graph). Legacy layout: byte digits."""
-    if MSM_SIGNED:
+    if MSM_FROM_LIMBS:
         h_limbs = F.from_mont(FR, h_coeffs[: m - 1])  # (m-1, L) canonical
         out = jnp.zeros((n_g1, FR.L), dtype=h_limbs.dtype)
         return out.at[: m - 1].set(h_limbs)
     h_digits_full = _h_digits_device(M.fr_digits_device(h_coeffs[: m - 1]))
     out = jnp.zeros((n_g1, h_digits_full.shape[1]), dtype=jnp.int32)
     return out.at[: m - 1].set(h_digits_full)
+
+
+def _global_var(v: int, n_inputs: int) -> int:
+    """Encoded CS variable -> index into the full (inputs ++ aux)
+    assignment, matching _csr_for/_densities ordering."""
+    return (v // 2) if v % 2 == 0 else n_inputs + v // 2
+
+
+def _boolean_var_mask(cs) -> np.ndarray:
+    """(n_vars,) bool mask of variables the R1CS structure FORCES into
+    {0, 1} for any satisfying assignment. Seeds: the exact bellman
+    boolean-constraint shape (1 - v)*(v) = 0 (r1cs/gadgets/boolean.py:29).
+    Closure: gadget shapes whose output is a bit whenever their inputs
+    are bits — xor (2a)*(b) = (a + b - v), and (a)*(b) = (v),
+    and-not (a)*(1 - b) = (v), nor (1 - a)*(1 - b) = (v) — iterated to a
+    fixpoint. Used to split MSM queries: a {0,1}-scalar multi-exp needs
+    ONE window instead of ceil(255/c) (see prepare_split_queries)."""
+    n_inputs = cs.num_inputs
+    n_vars = n_inputs + cs.num_aux
+    mask = np.zeros(n_vars, dtype=bool)
+    R1 = R - 1
+
+    def g(v):
+        return _global_var(v, n_inputs)
+
+    def _bit_factor(row):
+        """(v) or (ONE - v) or (ONE): returns the dependency list if the
+        factor is a bit whenever its vars are bits, else None."""
+        d = dict(row)
+        if len(d) == 1:
+            (v, co), = d.items()
+            if co != 1:
+                return None
+            return [] if v == 0 else [g(v)]
+        if len(d) == 2 and d.get(0) == 1:
+            others = [v for v in d if v != 0]
+            if d[others[0]] == R1:
+                return [g(others[0])]
+        return None
+
+    seeds = []
+    rules = []  # (out_gvar, [dep_gvars])
+    for a_row, b_row, c_row in zip(cs.a_rows, cs.b_rows, cs.c_rows):
+        da, db, dc = dict(a_row), dict(b_row), dict(c_row)
+        # seed: (ONE - v) * (v) = 0
+        if (
+            not dc
+            and len(db) == 1
+            and len(da) == 2
+            and da.get(0) == 1
+        ):
+            bv, bc = b_row[0]
+            if bc == 1 and bv != 0 and da.get(bv) == R1:
+                seeds.append(g(bv))
+                continue
+        # xor: (2a) * (b) = (a + b - v); v = a ^ b is a bit for bits a, b
+        if len(db) == 1 and len(da) == 1 and len(dc) == 3:
+            bv, bc = next(iter(db.items()))
+            av, ac = next(iter(da.items()))
+            if bc == 1 and ac == 2 and dc.get(av) == 1 and dc.get(bv) == 1:
+                rest = [v for v in dc if v not in (av, bv)]
+                if len(rest) == 1 and dc[rest[0]] == R1 and rest[0] != 0:
+                    rules.append((g(rest[0]), [g(av), g(bv)]))
+                    continue
+        # product forms with bit factors: and / and-not / nor / copy
+        if len(dc) == 1:
+            cv, cc = next(iter(dc.items()))
+            if cc == 1 and cv != 0:
+                fa = _bit_factor(a_row)
+                fb = _bit_factor(b_row)
+                if fa is not None and fb is not None:
+                    rules.append((g(cv), fa + fb))
+
+    for s in seeds:
+        mask[s] = True
+    # worklist propagation to the fixpoint
+    dep_rules: dict[int, list[int]] = {}
+    for ridx, (_out, deps) in enumerate(rules):
+        for d in deps:
+            dep_rules.setdefault(d, []).append(ridx)
+    pending = [d for d in range(len(rules)) if not rules[d][1]]
+    pending += [r for s in seeds for r in dep_rules.get(s, [])]
+    while pending:
+        ridx = pending.pop()
+        out, deps = rules[ridx]
+        if mask[out] or not all(mask[d] for d in deps):
+            continue
+        mask[out] = True
+        pending.extend(dep_rules.get(out, []))
+    mask[0] = False  # ONE rides the verifier-side IC, never split
+    return mask
+
+
+def _boolean_mask_cached(cs) -> np.ndarray:
+    key = ("boolmask", cs.num_constraints, cs.num_inputs, cs.num_aux)
+    m = _JIT_CACHE.get(key)
+    if m is None:
+        m = _boolean_var_mask(cs)
+        _JIT_CACHE[key] = m
+    return m
+
+
+def _densities_cached(cs):
+    dkey = ("density", cs.num_constraints, cs.num_inputs, cs.num_aux)
+    dens = _JIT_CACHE.get(dkey)
+    if dens is None:
+        dens = _densities(cs)
+        _JIT_CACHE[dkey] = dens
+    return dens
+
+
+def _identity_row(g2: bool) -> np.ndarray:
+    pts = [G2.identity()] if g2 else [G1.identity()]
+    enc = W.encode_g2_points(pts) if g2 else W.encode_g1_points(pts)
+    return np.concatenate([np.asarray(c).reshape(1, -1) for c in enc], axis=1)
+
+
+def prepare_split_queries(params: Parameters, cs) -> None:
+    """Split the l/a/b_g1/b_g2 queries into a {0,1}-scalar part and a
+    full-width part, per the circuit's structural boolean mask.
+
+    The bits part costs one window (N tree adds) instead of 32; for
+    Spend ~3/4 of the exponents are bit wires, cutting those MSMs ~70%.
+    Splits are static per circuit (masks from the R1CS shape), so the
+    point rows are split and device-cached once. Witness values are
+    re-checked against the mask at prove time (raise on violation)."""
+    if not MSM_SPLIT or params.device.get("mesh") is not None:
+        return
+    skey = ("split", cs.num_constraints, cs.num_inputs, cs.num_aux)
+    if params.device.get("split_key") == skey:
+        return
+    mask = _boolean_mask_cached(cs)
+    host_rows = params.device.pop("_host_rows", None)
+    if host_rows is None:
+        cache_path = getattr(params, "rows_cache", None)
+        if cache_path and os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                host_rows = {k: z[k] for k in ("l", "a", "b_g1", "b_g2")}
+    if host_rows is None or not mask.any():
+        params.device["split_key"] = skey
+        return
+    a_density, b_density = _densities_cached(cs)
+    n_inputs = cs.num_inputs
+    qmasks = {
+        "l": mask[n_inputs:],
+        "a": mask[a_density],
+        "b_g1": mask[b_density],
+        "b_g2": mask[b_density],
+    }
+    n_reals = {
+        "l": len(params.l), "a": len(params.a),
+        "b_g1": len(params.b_g1), "b_g2": len(params.b_g2),
+    }
+    for name, qm in qmasks.items():
+        n_real = n_reals[name]
+        assert qm.shape[0] == n_real, (name, qm.shape, n_real)
+        n_small = int(qm.sum())
+        if n_small < MSM_SPLIT_MIN or n_small == n_real:
+            continue
+        rows = np.asarray(host_rows[name][:n_real])
+        ident = _identity_row(name == "b_g2")
+
+        def pad_pow2(r):
+            npad = 1 << max(3, (r.shape[0] - 1).bit_length())
+            out = np.tile(ident, (npad, 1))
+            out[: r.shape[0]] = r
+            return out
+
+        params.device[f"{name}_small"] = jax.device_put(pad_pow2(rows[qm]))
+        params.device[f"{name}_full"] = jax.device_put(pad_pow2(rows[~qm]))
+        params.device[f"{name}_qmask"] = qm
+    params.device["split_key"] = skey
+
+
+def _msm_bits_async(points_dev, bits, g2: bool):
+    """MSM over {0,1} scalars: a masked sum (select identity where the
+    bit is 0 + one halving ladder) — N-1 adds, no sort/gather/buckets."""
+    from masp_tpu.ops import msm_sorted as MS
+
+    fops = W.G2Ops if g2 else W.G1Ops
+    key = ("msm_bits", g2, points_dev.shape[0])
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        def run(pk, d):
+            return MS.masked_sum(fops, pk, d)
+
+        fn = jax.jit(run)
+        _JIT_CACHE[key] = fn
+    return fn(points_dev, bits)
+
+
+def _msm_query_async(params: Parameters, name: str, arr_u64, mesh=None):
+    """Enqueue one proving query's MSM(s); returns a list of device
+    handles whose fetched sum is the query result (1 handle unsplit,
+    2 when the boolean split is active for this query)."""
+    dev = params.device
+    g2 = name == "b_g2"
+    one_async = _msm_g2_async if g2 else _msm_g1_async
+    if mesh is not None or f"{name}_small" not in dev:
+        pts = dev[name]
+        return [one_async(pts, _scalar_input(arr_u64, _dev_n(pts)), mesh=mesh)]
+    qm = dev[f"{name}_qmask"]
+    small = arr_u64[qm]
+    full = arr_u64[~qm]
+    if small.size and (small[:, 1:].any() or (small[:, 0] > 1).any()):
+        raise AssertionError(
+            f"boolean-split mask violated by witness for query {name!r}"
+        )
+    n_sp = _dev_n(dev[f"{name}_small"])
+    bits = np.zeros((n_sp, 1), dtype=np.int32)
+    bits[: small.shape[0], 0] = small[:, 0].astype(np.int32)
+    hs = _msm_bits_async(dev[f"{name}_small"], jnp.asarray(bits), g2)
+    hf = one_async(
+        dev[f"{name}_full"], _scalar_input(full, _dev_n(dev[f"{name}_full"]))
+    )
+    return [hs, hf]
+
+
+def _fetch_query_g1(handles):
+    pts = [_fetch_g1(h) for h in handles]
+    acc = pts[0]
+    for p in pts[1:]:
+        acc = acc + p
+    return acc
+
+
+def _fetch_query_g2(handles):
+    pts = [_fetch_g2(h) for h in handles]
+    acc = pts[0]
+    for p in pts[1:]:
+        acc = acc + p
+    return acc
 
 
 def _compute_abc_limbs(cs, m):
@@ -257,13 +504,14 @@ def _msm_g1_async(points_dev, digits, mesh=None):
     if mesh is not None:
         from masp_tpu.parallel import mesh as PM
 
-        key = ("msm_g1_mesh", points_dev.shape[0], _mesh_key(mesh), MSM_SIGNED)
+        key = ("msm_g1_mesh", points_dev.shape[0], _mesh_key(mesh),
+               MSM_FROM_LIMBS, MSM_SIGNED)
         fn = _JIT_CACHE.get(key)
         if fn is None:
             def run(packed, d):
                 return PM.sharded_sorted_msm(
                     mesh, W.G1Ops, packed, d, MSM_C, axis="msm",
-                    from_limbs=MSM_SIGNED, signed=MSM_SIGNED,
+                    from_limbs=MSM_FROM_LIMBS, signed=MSM_SIGNED,
                 )
 
             fn = jax.jit(run)
@@ -272,12 +520,14 @@ def _msm_g1_async(points_dev, digits, mesh=None):
     if MSM_IMPL == "sorted":
         from masp_tpu.ops import msm_sorted as MS
 
-        key = ("msm_g1_sorted", points_dev.shape[0], MSM_SIGNED)
+        key = ("msm_g1_sorted", points_dev.shape[0], MSM_FROM_LIMBS, MSM_SIGNED)
         fn = _JIT_CACHE.get(key)
         if fn is None:
-            if MSM_SIGNED:
+            if MSM_FROM_LIMBS:
                 def run(packed, d):
-                    return MS.sorted_msm_from_limbs(W.G1Ops, packed, d, MSM_C)
+                    return MS.sorted_msm_from_limbs(
+                        W.G1Ops, packed, d, MSM_C, signed=MSM_SIGNED
+                    )
             else:
                 def run(packed, d):
                     return MS.sorted_msm(W.G1Ops, packed, d, MSM_C)
@@ -300,13 +550,14 @@ def _msm_g2_async(points_dev, digits, mesh=None):
     if mesh is not None:
         from masp_tpu.parallel import mesh as PM
 
-        key = ("msm_g2_mesh", points_dev.shape[0], _mesh_key(mesh), MSM_SIGNED)
+        key = ("msm_g2_mesh", points_dev.shape[0], _mesh_key(mesh),
+               MSM_FROM_LIMBS, MSM_SIGNED)
         fn = _JIT_CACHE.get(key)
         if fn is None:
             def run(packed, d):
                 return PM.sharded_sorted_msm(
                     mesh, W.G2Ops, packed, d, MSM_C, axis="msm",
-                    from_limbs=MSM_SIGNED, signed=MSM_SIGNED,
+                    from_limbs=MSM_FROM_LIMBS, signed=MSM_SIGNED,
                 )
 
             fn = jax.jit(run)
@@ -315,12 +566,14 @@ def _msm_g2_async(points_dev, digits, mesh=None):
     if MSM_IMPL == "sorted":
         from masp_tpu.ops import msm_sorted as MS
 
-        key = ("msm_g2_sorted", points_dev.shape[0], MSM_SIGNED)
+        key = ("msm_g2_sorted", points_dev.shape[0], MSM_FROM_LIMBS, MSM_SIGNED)
         fn = _JIT_CACHE.get(key)
         if fn is None:
-            if MSM_SIGNED:
+            if MSM_FROM_LIMBS:
                 def run(packed, d):
-                    return MS.sorted_msm_from_limbs(W.G2Ops, packed, d, MSM_C)
+                    return MS.sorted_msm_from_limbs(
+                        W.G2Ops, packed, d, MSM_C, signed=MSM_SIGNED
+                    )
             else:
                 def run(packed, d):
                     return MS.sorted_msm(W.G2Ops, packed, d, MSM_C)
@@ -484,6 +737,12 @@ def prepare_device_params(params: Parameters, mesh=None) -> None:
             for name in ("h", "l", "a", "b_g1"):
                 params.device[name] = put(host_rows[name])
         params.device["b_g2"] = put(host_rows["b_g2"])
+        if MSM_SPLIT and mesh is None:
+            # keep the raw rows around until prepare_split_queries slices
+            # them (it pops this; reloadable from rows_cache otherwise)
+            params.device["_host_rows"] = {
+                k: host_rows[k] for k in ("l", "a", "b_g1", "b_g2")
+            }
         return
     params.device["n_g1"] = _pad_to(n_max, MSM_LANES_G1)
     n_pad = params.device["n_g1"]
@@ -536,6 +795,7 @@ def create_proof_from_assembly(
     the axis — the TPU-pod replacement for bellperson's in-node rayon
     parallelism (SURVEY.md §2.4/§5.8)."""
     prepare_device_params(params, mesh=mesh)
+    prepare_split_queries(params, cs)
 
     m = 1 << (cs.num_constraints - 1).bit_length()
     dom = Domain(m)
@@ -562,12 +822,7 @@ def create_proof_from_assembly(
 
     # density-filtered exponent vectors (structure static per circuit: cache)
     with span("exponent_marshal"):
-        dkey = ("density", cs.num_constraints, cs.num_inputs, cs.num_aux)
-        dens = _JIT_CACHE.get(dkey)
-        if dens is None:
-            dens = _densities(cs)
-            _JIT_CACHE[dkey] = dens
-        a_density, b_density = dens
+        a_density, b_density = _densities_cached(cs)
         full_u64 = _assignment_u64(cs)  # (n_vars, 4) u64 LE
         aux_u64 = full_u64[cs.num_inputs :]
         a_exps_u64 = full_u64[a_density]
@@ -602,32 +857,16 @@ def create_proof_from_assembly(
         # enqueue all five MSMs back-to-back (async dispatch), fetch once
         # at the end — keeps the device queue full, no host sync per MSM
         with span("msm_enqueue"):
-            l_dev = _msm_g1_async(
-                params.device["l"],
-                _scalar_input(aux_u64, _dev_n(params.device["l"])),
-                mesh=mesh,
-            )
-            a_dev = _msm_g1_async(
-                params.device["a"],
-                _scalar_input(a_exps_u64, _dev_n(params.device["a"])),
-                mesh=mesh,
-            )
-            b1_dev = _msm_g1_async(
-                params.device["b_g1"],
-                _scalar_input(b_exps_u64, _dev_n(params.device["b_g1"])),
-                mesh=mesh,
-            )
-            b2_dev = _msm_g2_async(
-                params.device["b_g2"],
-                _scalar_input(b_exps_u64, _dev_n(params.device["b_g2"])),
-                mesh=mesh,
-            )
+            l_dev = _msm_query_async(params, "l", aux_u64, mesh=mesh)
+            a_dev = _msm_query_async(params, "a", a_exps_u64, mesh=mesh)
+            b1_dev = _msm_query_async(params, "b_g1", b_exps_u64, mesh=mesh)
+            b2_dev = _msm_query_async(params, "b_g2", b_exps_u64, mesh=mesh)
         with span("msm_fetch"):
             h_answer = _fetch_g1(h_dev)
-            l_answer = _fetch_g1(l_dev)
-            a_answer = _fetch_g1(a_dev)
-            b1_answer = _fetch_g1(b1_dev)
-            b2_answer = _fetch_g2(b2_dev)
+            l_answer = _fetch_query_g1(l_dev)
+            a_answer = _fetch_query_g1(a_dev)
+            b1_answer = _fetch_query_g1(b1_dev)
+            b2_answer = _fetch_query_g2(b2_dev)
 
     with span("assemble"):
         vk = params.vk
@@ -677,8 +916,9 @@ def create_proofs_from_assemblies(
     def drain_one():
         r, s, h_dev, l_dev, a_dev, b1_dev, b2_dev = pending.pop(0)
         fetched.append((
-            r, s, _fetch_g1(h_dev), _fetch_g1(l_dev), _fetch_g1(a_dev),
-            _fetch_g1(b1_dev), _fetch_g2(b2_dev),
+            r, s, _fetch_g1(h_dev), _fetch_query_g1(l_dev),
+            _fetch_query_g1(a_dev), _fetch_query_g1(b1_dev),
+            _fetch_query_g2(b2_dev),
         ))
 
     for cs, (r, s) in zip(cs_iter, rs_list):
@@ -691,36 +931,15 @@ def create_proofs_from_assemblies(
         h_digits = _h_scalar_input(h_coeffs, m, n_g1)
         h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
 
-        dkey = ("density", cs.num_constraints, cs.num_inputs, cs.num_aux)
-        dens = _JIT_CACHE.get(dkey)
-        if dens is None:
-            dens = _densities(cs)
-            _JIT_CACHE[dkey] = dens
-        a_density, b_density = dens
+        a_density, b_density = _densities_cached(cs)
         full_u64 = _assignment_u64(cs)
         aux_u64 = full_u64[cs.num_inputs :]
         a_exps_u64 = full_u64[a_density]
         b_exps_u64 = full_u64[b_density]
-        l_dev = _msm_g1_async(
-            params.device["l"],
-            _scalar_input(aux_u64, _dev_n(params.device["l"])),
-            mesh=mesh,
-        )
-        a_dev = _msm_g1_async(
-            params.device["a"],
-            _scalar_input(a_exps_u64, _dev_n(params.device["a"])),
-            mesh=mesh,
-        )
-        b1_dev = _msm_g1_async(
-            params.device["b_g1"],
-            _scalar_input(b_exps_u64, _dev_n(params.device["b_g1"])),
-            mesh=mesh,
-        )
-        b2_dev = _msm_g2_async(
-            params.device["b_g2"],
-            _scalar_input(b_exps_u64, _dev_n(params.device["b_g2"])),
-            mesh=mesh,
-        )
+        l_dev = _msm_query_async(params, "l", aux_u64, mesh=mesh)
+        a_dev = _msm_query_async(params, "a", a_exps_u64, mesh=mesh)
+        b1_dev = _msm_query_async(params, "b_g1", b_exps_u64, mesh=mesh)
+        b2_dev = _msm_query_async(params, "b_g2", b_exps_u64, mesh=mesh)
         pending.append((r, s, h_dev, l_dev, a_dev, b1_dev, b2_dev))
 
     while pending:

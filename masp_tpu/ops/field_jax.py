@@ -333,10 +333,13 @@ def _mont_mul_compact(spec: FieldSpec, a, b):
         pad_cfg_lo = [(0, 0)] * (t.ndim - 1) + [(0, W - L)]
         pad_cfg_hi = [(0, 0)] * (t.ndim - 1) + [(1, W - L - 1)]
         t = t + jnp.pad(mlo, pad_cfg_lo) + jnp.pad(mhi, pad_cfg_hi)
-        t = t.at[..., 1].add(t[..., 0] >> LIMB_BITS)
-        t = jnp.roll(t, -1, axis=-1)
-        t = t.at[..., -1].set(0)
-        return t
+        # drop the (now zero mod 2^16) limb 0, folding its carry into the
+        # next limb — slice+concat, no scatters (scatters inside the
+        # fori body made XLA:CPU lowering/compile pathological)
+        head = t[..., 1:2] + (t[..., 0:1] >> LIMB_BITS)
+        return jnp.concatenate(
+            [head, t[..., 2:], jnp.zeros_like(t[..., 0:1])], axis=-1
+        )
 
     t = jax.lax.fori_loop(0, L, cios_body, t)
     return _carry_reduce_compact(spec, t[..., :L])

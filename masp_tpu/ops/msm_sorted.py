@@ -255,6 +255,27 @@ def sorted_msm_from_limbs(fops, points_packed, limbs16, c: int,
     return sorted_msm(fops, points_packed, digits, c, signed=signed)
 
 
+def masked_sum(fops, points_packed, bits):
+    """sum_i [b_i] P_i for b_i in {0, 1}: the degenerate MSM the prover's
+    boolean-split queries reduce to. No sort, no gather, no buckets —
+    select identity where the bit is 0, then one dyadic halving ladder
+    (N-1 complete adds, every level a full-width batched kernel)."""
+    N = points_packed.shape[0]
+    levels = (N - 1).bit_length()
+    assert N == 1 << levels, "pad N to a power of two"
+    cur = _unpack(fops, points_packed)
+    like = cur[0]
+    ident = _traced_identity(fops, like, (N,))
+    cur = W.point_select(bits.reshape(N).astype(jnp.int32), cur, ident)
+    for _l in range(levels):
+        n_half = cur[0].shape[0] // 2
+        paired = [cc.reshape((n_half, 2) + cc.shape[1:]) for cc in cur]
+        e = tuple(pc[:, 0] for pc in paired)
+        o = tuple(pc[:, 1] for pc in paired)
+        cur = W.g_add(fops, e, o)
+    return tuple(c[0] for c in cur)
+
+
 def sorted_msm_batch(fops, points_packed, digits, c: int, signed: bool = False):
     """Q independent MSMs in one program: points_packed (Q, N, rowlen),
     digits (Q, N, W) -> coords with a leading Q axis.
@@ -270,5 +291,5 @@ def sorted_msm_batch(fops, points_packed, digits, c: int, signed: bool = False):
 __all__ = [
     "sorted_msm", "sorted_msm_batch", "sorted_msm_from_limbs",
     "window_buckets", "pack_points", "bucket_reduce_horner",
-    "windows_from_limbs", "n_windows_for",
+    "windows_from_limbs", "n_windows_for", "masked_sum",
 ]

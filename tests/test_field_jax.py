@@ -19,6 +19,28 @@ def _sample(spec, n, seed=42):
 
 
 @pytest.mark.parametrize("spec", [F.FR, F.FQ], ids=["Fr", "Fq"])
+def test_mul_add_sub_compact(spec):
+    """The compact (scan-based) impl used by CPU tests and the multi-chip
+    dry-run must match the host field exactly, incl. edge values."""
+    prev = F.get_impl()
+    F.set_impl("compact")
+    try:
+        n = 65
+        xs = _sample(spec, n)
+        ys = _sample(spec, n, seed=44)
+        a = jnp.asarray(F.encode(spec, xs))
+        b = jnp.asarray(F.encode(spec, ys))
+        got_mul = F.decode(spec, jax.jit(lambda a, b: F.mont_mul(spec, a, b))(a, b))
+        got_sub = F.decode(spec, jax.jit(lambda a, b: F.sub(spec, a, b))(a, b))
+        for g, x, y in zip(got_mul, xs, ys):
+            assert g == (x * y) % spec.modulus
+        for g, x, y in zip(got_sub, xs, ys):
+            assert g == (x - y) % spec.modulus
+    finally:
+        F.set_impl(prev)
+
+
+@pytest.mark.parametrize("spec", [F.FR, F.FQ], ids=["Fr", "Fq"])
 def test_mul_add_sub(spec):
     n = 65
     xs = _sample(spec, n)

@@ -123,6 +123,24 @@ def test_sorted_msm_from_limbs_signed_g2():
     assert got == _host_msm(points, scalars)
 
 
+def test_masked_sum_g1():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    n = 32
+    g = G1.generator()
+    points = [g * int(rng.integers(1, 1 << 62)) for _ in range(n)]
+    points[5] = G1.identity()
+    bits = rng.integers(0, 2, n).astype(np.int32)
+    bits[0] = 1
+    bits[1] = 0
+    coords = [np.asarray(x) for x in W.encode_g1_points(points)]
+    packed = MS.pack_points(tuple(coords))
+    out = MS.masked_sum(W.G1Ops, packed, jnp.asarray(bits))
+    got = W.decode_g1_points(*(np.asarray(x)[None] for x in out))[0]
+    assert got == _host_msm(points, [int(b) for b in bits])
+
+
 def test_sorted_msm_g2():
     rng = np.random.default_rng(9)
     n = 32

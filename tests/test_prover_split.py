@@ -1,0 +1,122 @@
+"""Boolean-split MSM queries: structural mask + split prove vs host proof.
+
+The prover splits the l/a/b queries into a {0,1}-scalar part (one-window
+MSM) and a full-width part (groth16/prover.py prepare_split_queries),
+using a mask derived purely from the R1CS shape. Mask derivation is
+tested directly; the full split prove runs against the independent host
+bigint prover (gated: CPU trace cost)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from masp_tpu.fields import SCALAR_MODULUS as R
+from masp_tpu.groth16 import prover as PR
+from masp_tpu.groth16.generator import _add_input_constraints
+from masp_tpu.r1cs.cs import ONE, ProvingAssembly, lc_var
+from masp_tpu.r1cs.gadgets.boolean import AllocatedBit
+
+
+class BitMixCircuit:
+    """A few bit wires (alloc / xor / and) plus full-field wires."""
+
+    def __init__(self, x=3):
+        self.x = x
+
+    def synthesize(self, cs):
+        b0 = AllocatedBit.alloc(cs, True)
+        b1 = AllocatedBit.alloc(cs, False)
+        b2 = AllocatedBit.xor(cs, b0, b1)      # bit by closure
+        b3 = AllocatedBit.and_(cs, b0, b2)     # bit by closure
+        b4 = AllocatedBit.and_not(cs, b3, b1)  # bit by closure
+        b5 = AllocatedBit.nor(cs, b1, b1)      # bit by closure
+        x = self.x
+        xv = cs.alloc("x", x)
+        x2 = cs.alloc("x2", x * x % R)
+        cs.enforce("x2", lc_var(xv), lc_var(xv), lc_var(x2))
+        # tie the bits into the system so they appear in densities
+        out = cs.alloc_input(
+            "out",
+            (x * x
+             + b2.value + 2 * b3.value + 4 * b4.value + 8 * b5.value) % R,
+        )
+        cs.enforce(
+            "out",
+            lc_var(x2) + b2.var + (2, b3.var) + (4, b4.var) + (8, b5.var),
+            lc_var(ONE),
+            lc_var(out),
+        )
+
+
+def _assembled(circuit):
+    cs = ProvingAssembly()
+    circuit.synthesize(cs)
+    _add_input_constraints(cs)
+    return cs
+
+
+def test_boolean_var_mask_marks_bit_wires():
+    cs = _assembled(BitMixCircuit())
+    mask = PR._boolean_var_mask(cs)
+    n_inputs = cs.num_inputs
+    # aux order: b0, b1, b2 (xor), b3 (and), b4 (and-not), b5 (nor), x, x2
+    got = mask[n_inputs:].tolist()
+    assert got[:6] == [True] * 6, got
+    assert got[6:8] == [False, False], got
+    # no input is ever marked (ONE excluded explicitly)
+    assert not mask[:n_inputs].any()
+
+
+def test_boolean_var_mask_requires_bit_deps():
+    # x * y = z with x, y NOT bits must not mark z
+    cs = ProvingAssembly()
+    x = cs.alloc("x", 5)
+    y = cs.alloc("y", 7)
+    z = cs.alloc("z", 35)
+    cs.enforce("mul", lc_var(x), lc_var(y), lc_var(z))
+    _add_input_constraints(cs)
+    assert not PR._boolean_var_mask(cs).any()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("MASP_E2E"),
+    reason="CPU trace cost; run with MASP_E2E=1 (split exercised by TPU bench)",
+)
+def test_split_prove_matches_host_reference(monkeypatch):
+    from masp_tpu.curves.bls12_381 import G1, G2
+    from masp_tpu.groth16.generator import _densities
+    from masp_tpu.groth16.reference import host_proof
+    from masp_tpu.groth16.structures import Parameters, VerifyingKey
+
+    monkeypatch.setattr(PR, "MSM_C", 4)
+    monkeypatch.setattr(PR, "MSM_SPLIT", True)
+    monkeypatch.setattr(PR, "MSM_SPLIT_MIN", 1)
+    PR._JIT_CACHE.clear()
+
+    cs = _assembled(BitMixCircuit())
+    m = 1 << (cs.num_constraints - 1).bit_length()
+    a_density, b_density = _densities(cs)
+
+    rng = np.random.default_rng(21)
+    g1 = lambda: G1.generator() * int(rng.integers(1, 1 << 40))
+    g2 = lambda: G2.generator() * int(rng.integers(1, 1 << 40))
+    vk = VerifyingKey(
+        alpha_g1=g1(), beta_g1=g1(), beta_g2=g2(), gamma_g2=g2(),
+        delta_g1=g1(), delta_g2=g2(), ic=[g1() for _ in range(cs.num_inputs)],
+    )
+    params = Parameters(
+        vk=vk,
+        h=[g1() for _ in range(m - 1)],
+        l=[g1() for _ in range(cs.num_aux)],
+        a=[g1() for _ in range(int(a_density.sum()))],
+        b_g1=[g1() for _ in range(int(b_density.sum()))],
+        b_g2=[g2() for _ in range(int(b_density.sum()))],
+    )
+
+    proof = PR.create_proof_from_assembly(cs, params, 7, 13)
+    assert params.device.get("l_small") is not None, "split did not trigger"
+    assert proof == host_proof(cs, params, 7, 13)
+    PR._JIT_CACHE.clear()
+    params.device.clear()
