@@ -72,23 +72,40 @@ def main():
     a_u64 = full_u64[dens[0]]
     b_u64 = full_u64[dens[1]]
 
+    PR.prepare_split_queries(params, cs)
+    split_on = params.device.get("l_small") is not None
+    print("boolean split active:", split_on, flush=True)
+
     total = t_h + t_hs
-    for name, pts_key, arr in (
-        ("msm h", "h", None),
-        ("msm l (aux)", "l", aux_u64),
-        ("msm a", "a", a_u64),
-        ("msm b_g1", "b_g1", b_u64),
-    ):
-        pts = params.device[pts_key]
-        if arr is None:
-            d = h_in
-        else:
-            d = PR._scalar_input(arr, PR._dev_n(pts))
-        (_, dt) = timeit(name, lambda p=pts, dd=d: PR._msm_g1_async(p, dd))
-        total += dt
-    d2 = PR._scalar_input(b_u64, PR._dev_n(params.device["b_g2"]))
-    (_, dt) = timeit("msm b_g2", lambda: PR._msm_g2_async(params.device["b_g2"], d2))
+    (_, dt) = timeit("msm h", lambda: PR._msm_g1_async(params.device["h"], h_in))
     total += dt
+    for name, arr in (
+        ("msm l (aux)", aux_u64),
+        ("msm a", a_u64),
+        ("msm b_g1", b_u64),
+        ("msm b_g2", b_u64),
+    ):
+        qname = name.split()[1]
+        (hs, dt) = timeit(name, lambda q=qname, a=arr: PR._msm_query_async(params, q, a))
+        total += dt
+        if split_on and f"{qname}_small" in params.device:
+            qm = params.device[f"{qname}_qmask"]
+            small = arr[qm]
+            g2 = qname == "b_g2"
+            n_sp = PR._dev_n(params.device[f"{qname}_small"])
+            bits = np.zeros((n_sp, 1), dtype=np.int32)
+            bits[: small.shape[0], 0] = small[:, 0].astype(np.int32)
+            import jax.numpy as jnp
+
+            jb = jnp.asarray(bits)
+            timeit(f"  {qname} bits ({n_sp})",
+                   lambda: PR._msm_bits_async(params.device[f"{qname}_small"], jb, g2))
+            full = arr[~qm]
+            nf = PR._dev_n(params.device[f"{qname}_full"])
+            fin = PR._scalar_input(full, nf)
+            one_async = PR._msm_g2_async if g2 else PR._msm_g1_async
+            timeit(f"  {qname} full ({nf})",
+                   lambda: one_async(params.device[f"{qname}_full"], fin))
     print(f"{'sum of stages':28s} {total*1e3:9.1f} ms", flush=True)
 
     # whole device stream end-to-end for comparison
