@@ -62,6 +62,14 @@ MSM_SPLIT = os.environ.get("MASP_MSM_SPLIT", "1") == "1"
 MSM_SPLIT = MSM_SPLIT and MSM_IMPL == "sorted" and not MSM_STACK
 # below this many bit wires the split isn't worth the extra dispatches
 MSM_SPLIT_MIN = int(os.environ.get("MASP_MSM_SPLIT_MIN", "4096"))
+# round-3 fused prove program: the whole device stream — h quotient
+# pipeline, on-device h scalar prep, and every MSM (split or not) with
+# the split halves combined in-graph — as ONE jitted program, ONE
+# dispatch, ONE fetch of 5 points. Measured ~25-80 ms of per-dispatch
+# overhead through the axon relay; 10 dispatches/prove made that the
+# single largest cost after the MSMs themselves.
+MSM_FUSED = os.environ.get("MASP_MSM_FUSED", "1") == "1"
+MSM_FUSED = MSM_FUSED and MSM_FROM_LIMBS
 
 
 def _eval_lc_rows(rows, inputs, aux):
@@ -420,6 +428,87 @@ def _fetch_query_g2(handles):
     return acc
 
 
+def _fused_scalar_io(params: Parameters, aux_u64, a_u64, b_u64):
+    """Host side of the fused program: the (points, scalars) pytrees for
+    every query, split halves included. Raises if a witness value
+    violates the structural boolean mask."""
+    dev = params.device
+    points, scalars = {"h": dev["h"]}, {}
+    for q, arr in (
+        ("l", aux_u64), ("a", a_u64), ("b_g1", b_u64), ("b_g2", b_u64)
+    ):
+        if f"{q}_small" in dev:
+            qm = dev[f"{q}_qmask"]
+            small = arr[qm]
+            full = arr[~qm]
+            if small.size and (small[:, 1:].any() or (small[:, 0] > 1).any()):
+                raise AssertionError(
+                    f"boolean-split mask violated by witness for query {q!r}"
+                )
+            n_sp = _dev_n(dev[f"{q}_small"])
+            bits = np.zeros((n_sp, 1), dtype=np.int32)
+            bits[: small.shape[0], 0] = small[:, 0].astype(np.int32)
+            points[f"{q}_small"] = dev[f"{q}_small"]
+            points[f"{q}_full"] = dev[f"{q}_full"]
+            scalars[f"{q}_bits"] = bits
+            scalars[f"{q}_full"] = _scalar_input(full, _dev_n(dev[f"{q}_full"]))
+        else:
+            points[q] = dev[q]
+            scalars[q] = _scalar_input(arr, _dev_n(dev[q]))
+    return points, scalars
+
+
+def _fused_prove_async(params: Parameters, m: int, az, bz, cz,
+                       aux_u64, a_u64, b_u64):
+    """The ENTIRE proving device stream as one jitted program: h quotient
+    pipeline + on-device h scalar prep + all five MSM queries (split
+    halves combined in-graph). One dispatch, one fetch of 5 points —
+    the ~25-80 ms per-dispatch relay overhead is paid once instead of
+    ~10 times (measured in tools/profile_prover.py)."""
+    from masp_tpu.ops import msm_sorted as MS
+
+    dev = params.device
+    points, scalars = _fused_scalar_io(params, aux_u64, a_u64, b_u64)
+    dom = Domain(m)
+    n_g1 = _dev_n(dev["h"])
+    split = tuple(q for q in ("l", "a", "b_g1", "b_g2") if f"{q}_small" in dev)
+
+    key = ("fused", m, n_g1, split)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        def one_msm(fops, pts, scal):
+            return MS.sorted_msm_from_limbs(
+                fops, pts, scal, MSM_C, signed=MSM_SIGNED
+            )
+
+        def run(points, scalars, az, bz, cz):
+            h_coeffs = _h_pipeline_graph(dom, az, bz, cz)
+            h_limbs = F.from_mont(FR, h_coeffs[: m - 1])
+            h_in = jnp.zeros((n_g1, FR.L), dtype=h_limbs.dtype)
+            h_in = h_in.at[: m - 1].set(h_limbs)
+            out = {"h": one_msm(W.G1Ops, points["h"], h_in)}
+            for q in ("l", "a", "b_g1", "b_g2"):
+                fops = W.G2Ops if q == "b_g2" else W.G1Ops
+                if f"{q}_small" in points:
+                    p1 = MS.masked_sum(
+                        fops, points[f"{q}_small"], scalars[f"{q}_bits"]
+                    )
+                    p2 = one_msm(fops, points[f"{q}_full"], scalars[f"{q}_full"])
+                    comb = W.g_add(
+                        fops,
+                        tuple(x[None] for x in p1),
+                        tuple(x[None] for x in p2),
+                    )
+                    out[q] = tuple(x[0] for x in comb)
+                else:
+                    out[q] = one_msm(fops, points[q], scalars[q])
+            return out
+
+        fn = jax.jit(run)
+        _JIT_CACHE[key] = fn
+    return fn(points, scalars, az, bz, cz)
+
+
 def _compute_abc_limbs(cs, m):
     """Canonical (non-Montgomery) 16-bit-limb arrays (m, L) of the
     per-constraint a/b/c evaluations; native C++ path when available."""
@@ -467,25 +556,26 @@ def _compute_h_coeffs(dom: Domain, a_vals, b_vals, c_vals, mesh=None):
             _JIT_CACHE[key] = fn
         return fn(a_vals, b_vals, c_vals)
 
-    def pipeline(a, b, c):
-        # inputs are canonical limbs; convert to Montgomery on device
-        a = F.to_mont(FR, a)
-        b = F.to_mont(FR, b)
-        c = F.to_mont(FR, c)
-        a = dom.coset_fft(dom.ifft(a))
-        b = dom.coset_fft(dom.ifft(b))
-        c = dom.coset_fft(dom.ifft(c))
-        t = F.sub(FR, F.mont_mul(FR, a, b), c)
-        t = dom.divide_by_z_on_coset(t)
-        h = dom.icoset_fft(t)
-        return h
-
     key = ("h_pipeline", dom.m)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(pipeline)
+        fn = jax.jit(lambda a, b, c: _h_pipeline_graph(dom, a, b, c))
         _JIT_CACHE[key] = fn
     return fn(a_vals, b_vals, c_vals)
+
+
+def _h_pipeline_graph(dom: Domain, a, b, c):
+    """Traceable h(x) pipeline body (canonical limbs in, Montgomery h
+    coefficients out); shared by the standalone and fused programs."""
+    a = F.to_mont(FR, a)
+    b = F.to_mont(FR, b)
+    c = F.to_mont(FR, c)
+    a = dom.coset_fft(dom.ifft(a))
+    b = dom.coset_fft(dom.ifft(b))
+    c = dom.coset_fft(dom.ifft(c))
+    t = F.sub(FR, F.mont_mul(FR, a, b), c)
+    t = dom.divide_by_z_on_coset(t)
+    return dom.icoset_fft(t)
 
 
 _JIT_CACHE: dict = {}
@@ -805,6 +895,38 @@ def create_proof_from_assembly(
     with span("abc_eval"):
         az, bz, cz = _compute_abc_limbs(cs, m)
 
+    if (
+        MSM_FUSED and mesh is None and MSM_IMPL == "sorted"
+        and "g1_stack" not in params.device
+    ):
+        assert len(params.h) == m - 1, (len(params.h), m)
+        with span("exponent_marshal"):
+            a_density, b_density = _densities_cached(cs)
+            full_u64 = _assignment_u64(cs)
+            aux_u64 = full_u64[cs.num_inputs :]
+            a_exps_u64 = full_u64[a_density]
+            b_exps_u64 = full_u64[b_density]
+        with span("fused_enqueue"):
+            fused = _fused_prove_async(
+                params, m, az, bz, cz, aux_u64, a_exps_u64, b_exps_u64
+            )
+        with span("msm_fetch"):
+            h_answer = _fetch_g1(fused["h"])
+            l_answer = _fetch_g1(fused["l"])
+            a_answer = _fetch_g1(fused["a"])
+            b1_answer = _fetch_g1(fused["b_g1"])
+            b2_answer = _fetch_g2(fused["b_g2"])
+        with span("assemble"):
+            vk = params.vk
+            g_a = vk.delta_g1 * r + vk.alpha_g1 + a_answer
+            g_b = vk.delta_g2 * s + vk.beta_g2 + b2_answer
+            g_c = vk.delta_g1 * (r * s % R) + vk.alpha_g1 * s + vk.beta_g1 * r
+            g_c = g_c + h_answer + l_answer + a_answer * s + b1_answer * r
+        return Proof(
+            a=_to_affine_host(g_a), b=_to_affine_host_g2(g_b),
+            c=_to_affine_host(g_c),
+        )
+
     with span("h_pipeline+msm_enqueue"):
         h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)  # (m, L) Montgomery
         # bellman truncates the last coefficient (degree <= m-2)
@@ -927,15 +1049,23 @@ def create_proofs_from_assemblies(
             drain_one()
 
         az, bz, cz = _compute_abc_limbs(cs, m)
-        h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)
-        h_digits = _h_scalar_input(h_coeffs, m, n_g1)
-        h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
-
         a_density, b_density = _densities_cached(cs)
         full_u64 = _assignment_u64(cs)
         aux_u64 = full_u64[cs.num_inputs :]
         a_exps_u64 = full_u64[a_density]
         b_exps_u64 = full_u64[b_density]
+        if MSM_FUSED and mesh is None and MSM_IMPL == "sorted":
+            fused = _fused_prove_async(
+                params, m, az, bz, cz, aux_u64, a_exps_u64, b_exps_u64
+            )
+            pending.append((
+                r, s, fused["h"], [fused["l"]], [fused["a"]],
+                [fused["b_g1"]], [fused["b_g2"]],
+            ))
+            continue
+        h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)
+        h_digits = _h_scalar_input(h_coeffs, m, n_g1)
+        h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
         l_dev = _msm_query_async(params, "l", aux_u64, mesh=mesh)
         a_dev = _msm_query_async(params, "a", a_exps_u64, mesh=mesh)
         b1_dev = _msm_query_async(params, "b_g1", b_exps_u64, mesh=mesh)
