@@ -155,13 +155,26 @@ def _digits_from_u64(arr: np.ndarray, n_padded: int) -> np.ndarray:
     return out
 
 
-def _limbs_from_u64(arr: np.ndarray, n_padded: int) -> np.ndarray:
-    """(n, 4) u64 LE scalars -> (n_padded, 16) u32 16-bit limb rows for
-    on-device digit extraction (msm_sorted.windows_from_limbs) — a
-    reinterpret + widen, no per-digit host work."""
+def _u64x4_to_u16(arr: np.ndarray) -> np.ndarray:
+    """(n, 4) u64 -> (n, 16) uint16 limb rows, a zero-copy reinterpret on
+    little-endian hosts. Scalars ship at HALF the bytes of the u32
+    layout; device programs widen in-graph (host->device transfer
+    through the relay is a measurable per-proof cost)."""
+    import sys
+
     n = arr.shape[0]
-    out = np.zeros((n_padded, 16), dtype=np.uint32)
-    out[:n] = _u64x4_to_limbs16(arr)
+    if sys.byteorder == "little":
+        return np.ascontiguousarray(arr).view(np.uint16).reshape(n, 16)
+    return _u64x4_to_limbs16(arr).astype(np.uint16)
+
+
+def _limbs_from_u64(arr: np.ndarray, n_padded: int) -> np.ndarray:
+    """(n, 4) u64 LE scalars -> (n_padded, 16) uint16 limb rows for
+    on-device digit extraction (msm_sorted.windows_from_limbs) — a
+    reinterpret, no per-digit host work, half-width transfer."""
+    n = arr.shape[0]
+    out = np.zeros((n_padded, 16), dtype=np.uint16)
+    out[:n] = _u64x4_to_u16(arr)
     return out
 
 
@@ -403,8 +416,8 @@ def _msm_query_async(params: Parameters, name: str, arr_u64, mesh=None):
             f"boolean-split mask violated by witness for query {name!r}"
         )
     n_sp = _dev_n(dev[f"{name}_small"])
-    bits = np.zeros((n_sp, 1), dtype=np.int32)
-    bits[: small.shape[0], 0] = small[:, 0].astype(np.int32)
+    bits = np.zeros((n_sp, 1), dtype=np.int8)
+    bits[: small.shape[0], 0] = small[:, 0].astype(np.int8)
     hs = _msm_bits_async(dev[f"{name}_small"], jnp.asarray(bits), g2)
     hf = one_async(
         dev[f"{name}_full"], _scalar_input(full, _dev_n(dev[f"{name}_full"]))
@@ -446,8 +459,8 @@ def _fused_scalar_io(params: Parameters, aux_u64, a_u64, b_u64):
                     f"boolean-split mask violated by witness for query {q!r}"
                 )
             n_sp = _dev_n(dev[f"{q}_small"])
-            bits = np.zeros((n_sp, 1), dtype=np.int32)
-            bits[: small.shape[0], 0] = small[:, 0].astype(np.int32)
+            bits = np.zeros((n_sp, 1), dtype=np.int8)
+            bits[: small.shape[0], 0] = small[:, 0].astype(np.int8)
             points[f"{q}_small"] = dev[f"{q}_small"]
             points[f"{q}_full"] = dev[f"{q}_full"]
             scalars[f"{q}_bits"] = bits
@@ -519,10 +532,10 @@ def _compute_abc_limbs(cs, m):
         indptr, var_idx, coeffs = _csr_for(cs)
         assignment = _assignment_u64(cs)
         vals = native.eval_lc_rows_native(indptr, var_idx, coeffs, assignment)
-        limbs = _u64x4_to_limbs16(vals)  # (3n, 16)
+        limbs = _u64x4_to_u16(vals)  # (3n, 16), half-width transfer
         out = []
         for k in range(3):
-            part = np.zeros((m, FR.L), dtype=np.uint32)
+            part = np.zeros((m, FR.L), dtype=np.uint16)
             part[:n] = limbs[k * n : (k + 1) * n]
             out.append(jnp.asarray(part))
         return out
@@ -531,7 +544,7 @@ def _compute_abc_limbs(cs, m):
     c_vals = _eval_lc_rows(cs.c_rows, cs.input_assignment, cs.aux_assignment)
     pad = m - n
     return [
-        jnp.asarray(F.encode(FR, vals + [0] * pad, mont=False))
+        jnp.asarray(F.encode(FR, vals + [0] * pad, mont=False).astype(np.uint16))
         for vals in (a_vals, b_vals, c_vals)
     ]
 
@@ -566,7 +579,11 @@ def _compute_h_coeffs(dom: Domain, a_vals, b_vals, c_vals, mesh=None):
 
 def _h_pipeline_graph(dom: Domain, a, b, c):
     """Traceable h(x) pipeline body (canonical limbs in, Montgomery h
-    coefficients out); shared by the standalone and fused programs."""
+    coefficients out); shared by the standalone and fused programs.
+    Accepts uint16 limb rows (half-width transfer) and widens here."""
+    a = a.astype(jnp.uint32)
+    b = b.astype(jnp.uint32)
+    c = c.astype(jnp.uint32)
     a = F.to_mont(FR, a)
     b = F.to_mont(FR, b)
     c = F.to_mont(FR, c)

@@ -203,6 +203,7 @@ def sharded_h_pipeline(mesh: Mesh, dom, az, bz, cz, axis: str = "ntt"):
     zinv = jnp.asarray(F.encode(FR, [dom.z_on_coset_inv])[0])
 
     def coset_eval(x):
+        x = x.astype(jnp.uint32)
         x = F.to_mont(FR, x)
         x = sharded_ntt(mesh, dom, x, axis=axis, inverse=True)  # == ifft
         x = F.mont_mul(FR, x, gp)
