@@ -65,10 +65,13 @@ MSM_SPLIT_MIN = int(os.environ.get("MASP_MSM_SPLIT_MIN", "4096"))
 # round-3 fused prove program: the whole device stream — h quotient
 # pipeline, on-device h scalar prep, and every MSM (split or not) with
 # the split halves combined in-graph — as ONE jitted program, ONE
-# dispatch, ONE fetch of 5 points. Measured ~25-80 ms of per-dispatch
-# overhead through the axon relay; 10 dispatches/prove made that the
-# single largest cost after the MSMs themselves.
-MSM_FUSED = os.environ.get("MASP_MSM_FUSED", "1") == "1"
+# dispatch, ONE fetch of 5 points. Motivation: ~25-80 ms of overhead
+# per dispatch through the axon relay. MEASURED SLOWER than the async
+# per-query dispatches on v5e (Spend 9-iter medians 1.40 vs 1.32 s):
+# the one-program form serializes all input transfers before execution,
+# while back-to-back dispatches overlap query k+1's transfer with query
+# k's compute. Kept as an opt-in for transports with cheaper transfers.
+MSM_FUSED = os.environ.get("MASP_MSM_FUSED", "0") == "1"
 MSM_FUSED = MSM_FUSED and MSM_FROM_LIMBS
 
 
