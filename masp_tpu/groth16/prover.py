@@ -60,8 +60,12 @@ MSM_SIGNED = MSM_SIGNED and MSM_FROM_LIMBS
 # a full-width part (prepare_split_queries; masks from _boolean_var_mask)
 MSM_SPLIT = os.environ.get("MASP_MSM_SPLIT", "1") == "1"
 MSM_SPLIT = MSM_SPLIT and MSM_IMPL == "sorted" and not MSM_STACK
-# below this many bit wires the split isn't worth the extra dispatches
-MSM_SPLIT_MIN = int(os.environ.get("MASP_MSM_SPLIT_MIN", "4096"))
+# below this many bit wires the split isn't worth the extra dispatches:
+# each split adds ~2 relay round-trips (~30 ms each) while the saving
+# scales with the query size. Measured: Spend (50-68k bit wires/query)
+# gains ~0.4 s/proof; Output/Convert (17-24k) LOSE ~0.13 s/proof with a
+# 4096 threshold. 32768 separates them cleanly.
+MSM_SPLIT_MIN = int(os.environ.get("MASP_MSM_SPLIT_MIN", "32768"))
 # round-3 fused prove program: the whole device stream — h quotient
 # pipeline, on-device h scalar prep, and every MSM (split or not) with
 # the split halves combined in-graph — as ONE jitted program, ONE
