@@ -143,15 +143,27 @@ _fb_g2 = jax.jit(
 )
 
 
+def _chunk_pad(n: int, chunk: int, floor: int = 1 << 9) -> int:
+    """Pad size for a chunk of n scalars: the next power of two, clamped
+    to [floor, chunk]. Production queries fill whole chunks (one compiled
+    program); tiny test circuits (n ~ 10) pad to `floor` instead of the
+    full chunk — a full 2^16 fixed-base mul per query made tiny-circuit
+    param-gen take ~10 min on CPU. Power-of-two sizing bounds the
+    distinct compiled programs at log2(chunk/floor)+1 per group."""
+    if n >= chunk:
+        return chunk
+    return max(floor, 1 << (n - 1).bit_length())
+
+
 def batch_g1_mul_gen(scalars: list[int], chunk: int = 1 << 16):
-    """[s_i] G1_generator for many scalars, on TPU. Returns host G1 list.
-    Every chunk pads to the full chunk size: one compiled program total."""
+    """[s_i] G1_generator for many scalars, on TPU. Returns host G1 list."""
     out = []
     table = _g1_table()
     for off in range(0, len(scalars), chunk):
         part = scalars[off : off + chunk]
         n = len(part)
-        digits = jnp.asarray(M.scalars_to_digits(part + [0] * (chunk - n), 8, 256))
+        pad = _chunk_pad(n, chunk)
+        digits = jnp.asarray(M.scalars_to_digits(part + [0] * (pad - n), 8, 256))
         ax, ay = _fb_g1(table, digits)
         out.extend(_decode_affine_g1(ax[:n], ay[:n]))
     return out
@@ -163,7 +175,8 @@ def batch_g2_mul_gen(scalars: list[int], chunk: int = 1 << 14):
     for off in range(0, len(scalars), chunk):
         part = scalars[off : off + chunk]
         n = len(part)
-        digits = jnp.asarray(M.scalars_to_digits(part + [0] * (chunk - n), 8, 256))
+        pad = _chunk_pad(n, chunk)
+        digits = jnp.asarray(M.scalars_to_digits(part + [0] * (pad - n), 8, 256))
         ax, ay = _fb_g2(table, digits)
         out.extend(_decode_affine_g2(ax[:n], ay[:n]))
     return out

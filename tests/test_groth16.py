@@ -37,12 +37,14 @@ class CubicCircuit:
         cs.enforce("out", lc_var(x3) + xv + (5, ONE), lc_var(ONE), lc_var(out))
 
 
-@pytest.mark.slow
-@pytest.mark.skipif(
-    not os.environ.get("MASP_E2E"),
-    reason="~5 min on CPU; run with MASP_E2E=1 (validated in TPU benches)",
-)
 def test_groth16_end_to_end():
+    """Always-on minimal real-prover e2e: fresh params for a tiny circuit,
+    one real prove through create_proof_from_assembly's device path, one
+    verify (host pairing), negative checks and serialization round-trips.
+    The reference runs its real prover in every bellperson test; this keeps
+    the default suite exercising prove+verify on every run. Program traces
+    are shared in-process with tests/test_cross_verify.py (same tiny
+    shapes), so the marginal suite cost is the ~seconds of param-gen."""
     rng = XorShiftRng.from_seed(bytes(range(16)))
     params = generate_random_parameters(CubicCircuit(), rng)
     pvk = prepare_verifying_key(params.vk)
@@ -61,6 +63,18 @@ def test_groth16_end_to_end():
     # batch verification accepts the proof and rejects corrupted inputs
     assert verify_proofs_batch(pvk, rng, [proof], [[35]])
     assert not verify_proofs_batch(pvk, rng, [proof], [[36]])
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("MASP_E2E"),
+    reason="device-pairing compiles are minutes on CPU; run with MASP_E2E=1",
+)
+def test_groth16_device_pairing_batch():
+    rng = XorShiftRng.from_seed(bytes(range(16)))
+    params = generate_random_parameters(CubicCircuit(), rng)
+    pvk = prepare_verifying_key(params.vk)
+    proof = create_random_proof(CubicCircuit(x=3), params, rng)
 
     # the device-pairing batch path agrees on both outcomes
     assert verify_proofs_batch(pvk, rng, [proof], [[35]], use_device_pairing=True)
