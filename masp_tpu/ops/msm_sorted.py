@@ -29,12 +29,27 @@ masp_proofs -> bellperson multiexp, SURVEY.md §2.4/§3.1 HOT list).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from masp_tpu.ops import weierstrass_jax as W
 from masp_tpu.ops.msm import _traced_identity
+
+# How the per-window body runs: "scan" (default — sequential windows) or
+# vmapped over windows (MASP_MSM_VMAP_WINDOWS=1). Measured on v5e (2^17
+# c=8 G1): vmap 257 ms vs scan 219 ms — a NEGATIVE result kept for the
+# record. The scan keeps each window's ~37 MB working set (gathered rows +
+# tree nodes) local, where XLA can stage it through VMEM; vmapping windows
+# materializes W x that (~1.2-2.4 GB) through HBM, and the extra traffic
+# costs more than the per-step overheads it saves.
+VMAP_WINDOWS = os.environ.get("MASP_MSM_VMAP_WINDOWS", "0")
+
+
+def _use_vmap(n: int) -> bool:
+    return VMAP_WINDOWS == "1"
 
 
 def n_windows_for(c: int, signed: bool = False) -> int:
@@ -228,6 +243,10 @@ def window_buckets(fops, points_packed, digits, c: int, signed: bool = False):
         bucket = W.g_add(fops, acc, _g_neg(fops, qprev))
         return 0, bucket
 
+    if _use_vmap(N):
+        return jax.vmap(lambda p, b, s: win_body(0, (p, b, s))[1])(
+            perm, bounds, signs
+        )  # (W, B, ...)
     _, buckets = jax.lax.scan(win_body, 0, (perm, bounds, signs))  # (W, B, ...)
     return buckets
 

@@ -1,21 +1,27 @@
-"""Real multi-process jax.distributed run: 2 local CPU processes.
+"""Real multi-process jax.distributed run: N local CPU processes (default 4).
 
 The reference's only parallelism is in-process rayon (Cargo.lock:1354-1382);
 the TPU-native scale-out story is JAX's multi-controller runtime
 (masp_tpu/parallel/distributed.py). This tool actually EXECUTES that path:
 it launches N worker processes (each with its own CPU devices via
---xla_force_host_platform_device_count), wires them through
-``jax.distributed.initialize`` on a 127.0.0.1 coordinator, builds a
-``pod_mesh`` over the 2xD global devices, and runs:
+--xla_force_host_platform_device_count, 8 global devices total), wires them
+through ``jax.distributed.initialize`` on a 127.0.0.1 coordinator, builds a
+``pod_mesh`` over the global devices, and runs:
 
 1. ``local_job_slice`` — per-process partition of a global proof batch,
 2. ``global_from_local`` — per-process host rows stitched into one global
    sharded array, reduced with a shard_map psum, checked vs the host sum,
 3. the REAL mesh prover (groth16.prover.create_proof_from_assembly with
    mesh=) over the global mesh, checked against the pure-host bigint
-   reference prover (groth16/reference.py) on every process.
+   reference prover (groth16/reference.py) on every process,
+4. a dp-sharded BATCH prove — the north star's 2-host usage pattern: each
+   process proves its local_job_slice of a 2N-proof batch through the real
+   pipelined batch prover, the 192-byte proofs allgather across processes
+   (multihost_utils.process_allgather — the DCN collective), and every
+   process runs one BatchValidator-style verify_proofs_batch over the full
+   batch (+ a corrupted-input negative check).
 
-Run:  python tools/distributed_demo.py            (parent: spawns 2 workers)
+Run:  python tools/distributed_demo.py [--nproc N]   (parent; default N=4)
       python tools/distributed_demo.py --worker I N PORT   (internal)
 
 Gated test: tests/test_distributed.py (MASP_DISTRIBUTED=1).
@@ -28,7 +34,12 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DEVICES_PER_PROC = 4
+GLOBAL_DEVICES = 8  # nproc * devices_per_proc; matches the dryrun mesh size
+
+
+def _devices_per_proc(nproc: int) -> int:
+    assert GLOBAL_DEVICES % nproc == 0, (GLOBAL_DEVICES, nproc)
+    return GLOBAL_DEVICES // nproc
 
 
 def worker(pid: int, nproc: int, port: int) -> int:
@@ -48,7 +59,7 @@ def worker(pid: int, nproc: int, port: int) -> int:
     assert jax.process_count() == nproc, jax.process_count()
     n_global = jax.device_count()
     n_local = len(jax.local_devices())
-    assert n_global == nproc * DEVICES_PER_PROC, (n_global, n_local)
+    assert n_global == nproc * _devices_per_proc(nproc), (n_global, n_local)
     print(f"[p{pid}] initialized: {jax.process_count()} processes, "
           f"{n_global} global / {n_local} local devices", flush=True)
 
@@ -58,7 +69,7 @@ def worker(pid: int, nproc: int, port: int) -> int:
 
     F.set_impl("compact")
 
-    # 1. job partitioning: 6 jobs over 2 processes -> 3 + 3
+    # 1. job partitioning: 6 jobs over the processes (contiguous blocks)
     sl = D.local_job_slice(6)
     all_slices = [D.local_job_slice(6, process_id=i, process_count=nproc)
                   for i in range(nproc)]
@@ -105,9 +116,12 @@ def worker(pid: int, nproc: int, port: int) -> int:
     PR._JIT_CACHE.clear()
 
     class Chain:
+        def __init__(self, x0=777):
+            self.x0 = x0
+
         def synthesize(self, cs):
-            v = cs.alloc("x0", 777)
-            cur = 777
+            v = cs.alloc("x0", self.x0)
+            cur = self.x0
             for i in range(12):
                 nxt = cur * cur % R
                 nv = cs.alloc(f"x{i+1}", nxt)
@@ -144,15 +158,71 @@ def worker(pid: int, nproc: int, port: int) -> int:
     )
     print(f"[p{pid}] mesh prove over {nproc} processes x "
           f"{n_local} devices OK: proof == host bigint reference", flush=True)
+
+    # 4. dp-sharded batch prove: each process proves its local_job_slice
+    # of a global proof batch through the real pipelined batch prover
+    # (local devices), the 192-byte proofs allgather across processes
+    # (the DCN collective of the north star's 2-host config), and every
+    # process batch-verifies the full batch.
+    from jax.experimental import multihost_utils
+
+    from masp_tpu.groth16.generator import generate_random_parameters
+    from masp_tpu.groth16.prover import (
+        create_proofs_from_assemblies, synthesize_witness,
+    )
+    from masp_tpu.groth16.structures import Proof, prepare_verifying_key
+    from masp_tpu.groth16.verifier import verify_proofs_batch
+    from masp_tpu.utils.rng import XorShiftRng
+
+    # step 3's params are arbitrary points (enough to check the mesh MSM
+    # arithmetic against host_proof, but NOT a consistent CRS); real
+    # verification needs generated parameters. Deterministic seed -> every
+    # process generates the identical CRS locally, no parameter broadcast.
+    grng = XorShiftRng.from_seed(bytes(range(16, 32)))
+    params = generate_random_parameters(Chain(), grng)
+
+    n_jobs = 2 * nproc
+    jobs = D.local_job_slice(n_jobs)
+    x0s = [700 + j for j in range(n_jobs)]
+    outs = [pow(x, 1 << 12, R) for x in x0s]
+
+    def assemblies():
+        for j in jobs.indices():
+            yield synthesize_witness(Chain(x0s[j]))
+
+    rs_local = [(11 + j, 22 + j) for j in jobs.indices()]
+    local_proofs = create_proofs_from_assemblies(assemblies(), params, rs_local)
+    local_rows192 = np.stack(
+        [np.frombuffer(p.write(), dtype=np.uint8) for p in local_proofs]
+    )
+    print(f"[p{pid}] dp batch prove: jobs {jobs.start}..{jobs.stop} of "
+          f"{n_jobs} proved locally", flush=True)
+
+    gathered = multihost_utils.process_allgather(local_rows192, tiled=True)
+    assert gathered.shape == (n_jobs, local_rows192.shape[1]), gathered.shape
+    all_proofs = [Proof.read(bytes(gathered[j])) for j in range(n_jobs)]
+
+    pvk = prepare_verifying_key(params.vk)
+    vrng = XorShiftRng.from_seed(bytes(range(16)))
+    assert verify_proofs_batch(pvk, vrng, all_proofs, [[o] for o in outs]), (
+        "gathered dp proof batch failed batch verification"
+    )
+    bad_inputs = [[o] for o in outs]
+    bad_inputs[0] = [(outs[0] + 1) % R]
+    assert not verify_proofs_batch(pvk, vrng, all_proofs, bad_inputs), (
+        "batch verification accepted a corrupted public input"
+    )
+    print(f"[p{pid}] dp batch of {n_jobs} proofs allgathered + "
+          f"batch-verified OK (negative check OK)", flush=True)
     print(f"[p{pid}] DISTRIBUTED DEMO PASS", flush=True)
     return 0
 
 
-def parent(nproc: int = 2, port: int = 49731) -> int:
+def parent(nproc: int = 4, port: int = 49731) -> int:
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={DEVICES_PER_PROC}"
+        + f" --xla_force_host_platform_device_count={_devices_per_proc(nproc)}"
     ).strip()
     # the workers pin CPU in-process (jax.config.update) per the verify
     # skill gotcha: env JAX_PLATFORMS=cpu can hang inside jax init when
@@ -186,4 +256,7 @@ def parent(nproc: int = 2, port: int = 49731) -> int:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         sys.exit(worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])))
-    sys.exit(parent())
+    n = 4
+    if "--nproc" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--nproc") + 1])
+    sys.exit(parent(nproc=n))
