@@ -14,8 +14,11 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
+
+#include <dlfcn.h>
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -172,7 +175,7 @@ inline void halve_mod(u64 a[4]) {
     }
 }
 
-int inv_mod(const u64 in[4], u64 out[4]) {
+int inv_mod_binary(const u64 in[4], u64 out[4]) {
     if (is_zero(in)) return 1;  // error: zero inverse
     u64 u[4], v[4], b[4], c[4];
     std::memcpy(u, in, 32);
@@ -193,6 +196,70 @@ int inv_mod(const u64 in[4], u64 out[4]) {
     }
     // v == gcd == 1, c * in == 1
     std::memcpy(out, c, 32);
+    return 0;
+}
+
+// --- GMP-accelerated inversion ---------------------------------------------
+// The single-bit binary GCD above costs ~26 us per call; a Spend witness
+// tape holds ~8k inversions (the affine divisions of the in-circuit
+// Pedersen/ECC gadget witnesses), ~0.15 s/proof of host tail. libgmp's
+// Lehmer-optimized mpn_gcdext is ~10x faster. No GMP headers ship in this
+// image, but the mpn ABI is stable (mp_limb_t = unsigned long on LP64), so
+// we dlopen libgmp.so.10 and declare the one entry point ourselves;
+// everything falls back to the binary GCD when GMP is absent or
+// MASP_NO_GMP=1 is set.
+
+typedef unsigned long gmp_limb;   // 64-bit on this platform
+typedef long gmp_size;
+typedef gmp_size (*gcdext_fn)(gmp_limb*, gmp_limb*, gmp_size*,
+                              gmp_limb*, gmp_size, gmp_limb*, gmp_size);
+
+static gcdext_fn p_gcdext = nullptr;
+static std::once_flag gmp_once;
+
+static void load_gmp() {
+    if (const char* env = std::getenv("MASP_NO_GMP")) {
+        if (env[0] == '1') return;
+    }
+    void* h = dlopen("libgmp.so.10", RTLD_NOW | RTLD_LOCAL);
+    if (!h) h = dlopen("libgmp.so", RTLD_NOW | RTLD_LOCAL);
+    if (!h) return;
+    p_gcdext = (gcdext_fn)dlsym(h, "__gmpn_gcdext");  // mpn_gcdext's symbol
+}
+
+int inv_mod(const u64 in[4], u64 out[4]) {
+    std::call_once(gmp_once, load_gmp);
+    if (!p_gcdext) return inv_mod_binary(in, out);
+    if (is_zero(in)) return 1;
+    // mpn_gcdext(g, s, &sn, U, un, V, vn) computes g = gcd(U, V) and the
+    // cofactor s with U*s ≡ g (mod V); it requires un >= vn and clobbers
+    // U/V. Use U = in + r (so un >= vn even for small inputs; the inverse
+    // of in+r mod r IS the inverse of in) and V = r.
+    gmp_limb up[5], vp[4], gp[5], sp[6];
+    u128 carry = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 cur = (u128)in[i] + R_LIMBS[i] + (u64)carry;
+        up[i] = (gmp_limb)cur;
+        carry = cur >> 64;
+    }
+    up[4] = (gmp_limb)carry;
+    gmp_size un = up[4] ? 5 : 4;
+    std::memcpy(vp, R_LIMBS, 32);
+    gmp_size sn = 0;
+    gmp_size gn = p_gcdext(gp, sp, &sn, up, un, vp, 4);
+    if (gn != 1 || gp[0] != 1) return 1;  // in ≡ 0 mod r (r is prime)
+    // |s| < r/2 (GMP guarantee: |s| <= V/2g), so it fits 4 limbs
+    u64 s[4] = {0, 0, 0, 0};
+    gmp_size alen = sn < 0 ? -sn : sn;
+    for (gmp_size i = 0; i < alen && i < 4; i++) s[i] = sp[i];
+    if (sn < 0) {
+        u64 t[4];
+        std::memcpy(t, R_LIMBS, 32);
+        sub_256_in(t, s);
+        std::memcpy(out, t, 32);
+    } else {
+        std::memcpy(out, s, 32);
+    }
     return 0;
 }
 
