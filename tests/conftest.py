@@ -15,9 +15,20 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax  # noqa: E402
-
 _TEST_TPU = os.environ.get("MASP_TEST_TPU") == "1"
+
+if not _TEST_TPU:
+    # The persistent XLA cache's executable (de)serialization can hard-crash
+    # on CPU in this remote-compile environment (observed SIGABRT on reads,
+    # round 3, masp_tpu/__init__.py note; SIGSEGV inside
+    # put_executable_and_time during the round-4 suite). Within one pytest
+    # process the in-memory jit cache already dedups compiles, so the
+    # persistent cache only saves cross-run time — not worth the crash
+    # class. TPU runs keep it: those entries target the device, not the
+    # host, and the big MSM programs are minutes to compile.
+    os.environ.setdefault("MASP_TPU_NO_COMPILE_CACHE", "1")
+
+import jax  # noqa: E402
 
 if not _TEST_TPU:
     # Must happen BEFORE any masp_tpu import: importing field_jax touches

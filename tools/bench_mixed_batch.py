@@ -112,18 +112,22 @@ def main():
         return tx
 
     n_proofs = n_spends + n_converts + len(out_plan)
+    from masp_tpu.utils import benchlog
+
     tx = build_tx()  # warmup (compiles)
-    t0 = time.time()
+    samples = []
     for _ in range(iters):
+        t0 = time.time()
         tx = build_tx()
-    dt = (time.time() - t0) / iters
-    print(json.dumps({
+        samples.append(time.time() - t0)
+    dt = sorted(samples)[len(samples) // 2]
+    benchlog.emit({
         "metric": f"mixed batch build+prove ({n_spends} spend, {n_converts} "
                   f"convert, {len(out_plan)} output = {n_proofs} proofs)",
         "value": round(dt, 3),
         "unit": "s/batch",
         "s_per_proof": round(dt / n_proofs, 4),
-    }), flush=True)
+    }, samples)
 
     txid_parts = tx.data.digest(TxIdDigester())
     sighash = signature_hash(tx.data, SignableInput.shielded(), txid_parts)
@@ -135,16 +139,18 @@ def main():
                           rng=rng)
 
     assert validate()  # warmup
-    t0 = time.time()
+    samples = []
     for _ in range(iters):
+        t0 = time.time()
         assert validate()
-    dt = (time.time() - t0) / iters
-    print(json.dumps({
+        samples.append(time.time() - t0)
+    dt = sorted(samples)[len(samples) // 2]
+    benchlog.emit({
         "metric": f"mixed batch validate ({n_proofs} proofs + sig batches)",
         "value": round(dt, 3),
         "unit": "s/batch",
         "ms_per_proof": round(dt * 1000 / n_proofs, 1),
-    }), flush=True)
+    }, samples)
 
 
 if __name__ == "__main__":

@@ -85,16 +85,20 @@ def main():
         )
         return tx
 
+    from masp_tpu.utils import benchlog
+
     tx = build_tx()  # warmup (compiles)
-    t0 = time.time()
+    samples = []
     for _ in range(iters):
+        t0 = time.time()
         tx = build_tx()
-    dt = (time.time() - t0) / iters
-    print(json.dumps({
+        samples.append(time.time() - t0)
+    dt = sorted(samples)[len(samples) // 2]
+    benchlog.emit({
         "metric": "full tx build+prove (1 spend, 1 convert, 2 outputs)",
         "value": round(dt, 3),
         "unit": "s/tx",
-    }), flush=True)
+    }, samples)
 
     txid_parts = tx.data.digest(TxIdDigester())
     sighash = signature_hash(tx.data, SignableInput.shielded(), txid_parts)
@@ -106,15 +110,17 @@ def main():
                           rng=rng)
 
     assert validate()  # warmup
-    t0 = time.time()
+    samples = []
     for _ in range(iters):
+        t0 = time.time()
         assert validate()
-    dt = (time.time() - t0) / iters
-    print(json.dumps({
+        samples.append(time.time() - t0)
+    dt = sorted(samples)[len(samples) // 2]
+    benchlog.emit({
         "metric": "full tx batch-validate (4 proofs + 2 sig batches)",
         "value": round(dt * 1000, 1),
         "unit": "ms/tx",
-    }), flush=True)
+    }, samples)
 
 
 if __name__ == "__main__":

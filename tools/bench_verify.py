@@ -53,18 +53,22 @@ def main():
     proofs = [proof] * batch
     inputs = [public_inputs] * batch
 
+    from masp_tpu.utils import benchlog
+
     def timed(name, fn):
         ok = fn()  # warmup (compiles on first device use)
         assert ok, f"{name}: batch rejected"
-        t0 = time.time()
+        samples = []
         for _ in range(iters):
+            t0 = time.time()
             assert fn()
-        dt = (time.time() - t0) / iters
-        print(json.dumps({
+            samples.append(time.time() - t0)
+        dt = sorted(samples)[len(samples) // 2]
+        benchlog.emit({
             "metric": f"batch-verify {name} (B={batch})",
             "value": round(dt * 1000 / batch, 2),
             "unit": "ms/proof",
-        }), flush=True)
+        }, samples)
 
     timed("groth16 host-pairing", lambda: verify_proofs_batch(
         pvk, XorShiftRng.from_seed(b"\x01" * 16), proofs, inputs))
