@@ -77,6 +77,12 @@ MSM_SPLIT_MIN = int(os.environ.get("MASP_MSM_SPLIT_MIN", "32768"))
 # k's compute. Kept as an opt-in for transports with cheaper transfers.
 MSM_FUSED = os.environ.get("MASP_MSM_FUSED", "0") == "1"
 MSM_FUSED = MSM_FUSED and MSM_FROM_LIMBS
+# round-4 on-device LC evaluation: the per-constraint a/b/c values are a
+# CSR spmv over the witness (gather + mont_mul by per-term constants +
+# segment-sum), fused into the h-pipeline program. Replaces the native
+# host LC eval (~60 ms/proof for Spend) and the 3x(m, L) limb transfer
+# (~12.6 MB) with ONE (n_vars, L) witness transfer (~5.8 MB).
+ABC_DEVICE = os.environ.get("MASP_ABC_DEVICE", "1") == "1"
 
 
 def _eval_lc_rows(rows, inputs, aux):
@@ -556,6 +562,81 @@ def _compute_abc_limbs(cs, m):
     ]
 
 
+def _csr_device_cached(cs, m: int):
+    """Device-resident CSR of the a|b|c rows for the on-device LC
+    evaluation: gather indices into the full assignment, padded segment
+    ids, and per-term coefficients stored as mont(c) 16-bit limb rows
+    (mont_mul(mont(c), v_canonical) = c*v canonical). Coefficients dedup
+    through np.unique — circuits use a handful of distinct constants
+    (1, -1, powers of two from packing), so the host bigint work is tiny."""
+    key = ("csr_dev", cs.num_constraints, cs.num_inputs, cs.num_aux)
+    ent = _JIT_CACHE.get(key)
+    if ent is not None:
+        return ent
+    indptr, var_idx, coeffs_u64 = _csr_for(cs)
+    n = cs.num_constraints
+    rows = np.repeat(np.arange(3 * n, dtype=np.int64), np.diff(indptr))
+    seg = ((rows // n) * m + (rows % n)).astype(np.int32)
+    uniq, inv = np.unique(coeffs_u64, axis=0, return_inverse=True)
+    mont_rows = np.zeros((uniq.shape[0], FR.L), dtype=np.uint16)
+    for i in range(uniq.shape[0]):
+        c = int.from_bytes(uniq[i].tobytes(), "little")
+        cm = c * FR.R % R
+        for j in range(FR.L):
+            mont_rows[i, j] = (cm >> (16 * j)) & 0xFFFF
+    ent = (
+        jax.device_put(jnp.asarray(var_idx.astype(np.int32))),
+        jax.device_put(jnp.asarray(seg)),
+        jax.device_put(jnp.asarray(mont_rows[inv])),
+    )
+    _JIT_CACHE[key] = ent
+    return ent
+
+
+def _abc_h_graph(dom: Domain, m: int, var_idx, seg, coeff16, v16):
+    """On-device LC evaluation fused with the h pipeline: full witness
+    limb rows in (ONE transfer per proof), Montgomery h coefficients out.
+
+    Per-constraint value = segment-sum of mont(c)*v products (canonical,
+    < r each). The lazy u32 limb sums carry-normalize to S0 (16 limbs) +
+    an overflow limb s16 < max row length; since 2^256 = R_fr, the
+    Montgomery form of the total is to_mont(S0) + to_mont(to_mont(s16))."""
+    v = v16.astype(jnp.uint32)
+    g = jnp.take(v, var_idx, axis=0)
+    prods = F.mont_mul(FR, coeff16.astype(jnp.uint32), g)
+    S = jax.ops.segment_sum(prods, seg, num_segments=3 * m)
+    out0 = []
+    carry = jnp.zeros_like(S[:, 0])
+    for i in range(FR.L):
+        vcol = S[:, i] + carry
+        out0.append(vcol & 0xFFFF)
+        carry = vcol >> 16
+    S0 = jnp.stack(out0, axis=1)
+    s16rows = jnp.zeros_like(S0).at[:, 0].set(carry)
+    vals_m = F.add(
+        FR, F.to_mont(FR, S0), F.to_mont(FR, F.to_mont(FR, s16rows))
+    )
+    return _h_pipeline_graph(
+        dom, vals_m[:m], vals_m[m : 2 * m], vals_m[2 * m :],
+        inputs_mont=True,
+    )
+
+
+def _compute_h_device(dom: Domain, cs, m: int, v16: np.ndarray):
+    """h(x) coefficients straight from the witness: device CSR spmv +
+    NTT quotient pipeline as ONE program (replaces the native host LC
+    eval + the 3x(m, L) limb transfer with a single witness transfer)."""
+    var_idx, seg, coeff16 = _csr_device_cached(cs, m)
+    key = ("abc_h", m, var_idx.shape[0])
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda vi, sg, cf, v: _abc_h_graph(dom, m, vi, sg, cf, v)
+        )
+        _JIT_CACHE[key] = fn
+    return fn(var_idx, seg, coeff16, jnp.asarray(v16))
+
+
 def _compute_h_coeffs(dom: Domain, a_vals, b_vals, c_vals, mesh=None):
     """Device: h(x) coefficients from per-constraint evaluations.
 
@@ -584,16 +665,19 @@ def _compute_h_coeffs(dom: Domain, a_vals, b_vals, c_vals, mesh=None):
     return fn(a_vals, b_vals, c_vals)
 
 
-def _h_pipeline_graph(dom: Domain, a, b, c):
+def _h_pipeline_graph(dom: Domain, a, b, c, inputs_mont: bool = False):
     """Traceable h(x) pipeline body (canonical limbs in, Montgomery h
     coefficients out); shared by the standalone and fused programs.
-    Accepts uint16 limb rows (half-width transfer) and widens here."""
+    Accepts uint16 limb rows (half-width transfer) and widens here.
+    ``inputs_mont``: values already in Montgomery form (the on-device
+    LC-eval path), skip the conversion."""
     a = a.astype(jnp.uint32)
     b = b.astype(jnp.uint32)
     c = c.astype(jnp.uint32)
-    a = F.to_mont(FR, a)
-    b = F.to_mont(FR, b)
-    c = F.to_mont(FR, c)
+    if not inputs_mont:
+        a = F.to_mont(FR, a)
+        b = F.to_mont(FR, b)
+        c = F.to_mont(FR, c)
     a = dom.coset_fft(dom.ifft(a))
     b = dom.coset_fft(dom.ifft(b))
     c = dom.coset_fft(dom.ifft(c))
@@ -914,15 +998,23 @@ def create_proof_from_assembly(
     m = 1 << (cs.num_constraints - 1).bit_length()
     dom = Domain(m)
 
-    # per-constraint evaluations, padded to m (canonical limbs; Montgomery
-    # conversion happens on device in the h pipeline)
-    with span("abc_eval"):
-        az, bz, cz = _compute_abc_limbs(cs, m)
-
-    if (
+    fused = (
         MSM_FUSED and mesh is None and MSM_IMPL == "sorted"
         and "g1_stack" not in params.device
-    ):
+    )
+    use_dev_abc = ABC_DEVICE and mesh is None and not fused
+    full_u64 = None
+    if use_dev_abc:
+        with span("witness_marshal"):
+            full_u64 = _assignment_u64(cs)
+            v16 = _u64x4_to_u16(full_u64)
+    else:
+        # per-constraint evaluations, padded to m (canonical limbs;
+        # Montgomery conversion happens on device in the h pipeline)
+        with span("abc_eval"):
+            az, bz, cz = _compute_abc_limbs(cs, m)
+
+    if fused:
         assert len(params.h) == m - 1, (len(params.h), m)
         with span("exponent_marshal"):
             a_density, b_density = _densities_cached(cs)
@@ -952,7 +1044,10 @@ def create_proof_from_assembly(
         )
 
     with span("h_pipeline+msm_enqueue"):
-        h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)  # (m, L) Montgomery
+        if use_dev_abc:
+            h_coeffs = _compute_h_device(dom, cs, m, v16)  # (m, L) Montgomery
+        else:
+            h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)
         # bellman truncates the last coefficient (degree <= m-2)
         h_n = len(params.h)
         assert h_n == m - 1, (h_n, m)
@@ -969,7 +1064,8 @@ def create_proof_from_assembly(
     # density-filtered exponent vectors (structure static per circuit: cache)
     with span("exponent_marshal"):
         a_density, b_density = _densities_cached(cs)
-        full_u64 = _assignment_u64(cs)  # (n_vars, 4) u64 LE
+        if full_u64 is None:
+            full_u64 = _assignment_u64(cs)  # (n_vars, 4) u64 LE
         aux_u64 = full_u64[cs.num_inputs :]
         a_exps_u64 = full_u64[a_density]
         b_exps_u64 = full_u64[b_density]
@@ -1072,13 +1168,16 @@ def create_proofs_from_assemblies(
         if len(pending) >= window:
             drain_one()
 
-        az, bz, cz = _compute_abc_limbs(cs, m)
+        batch_fused = MSM_FUSED and mesh is None and MSM_IMPL == "sorted"
+        use_dev_abc = ABC_DEVICE and mesh is None and not batch_fused
         a_density, b_density = _densities_cached(cs)
         full_u64 = _assignment_u64(cs)
         aux_u64 = full_u64[cs.num_inputs :]
         a_exps_u64 = full_u64[a_density]
         b_exps_u64 = full_u64[b_density]
-        if MSM_FUSED and mesh is None and MSM_IMPL == "sorted":
+        if not use_dev_abc:
+            az, bz, cz = _compute_abc_limbs(cs, m)
+        if batch_fused:
             fused = _fused_prove_async(
                 params, m, az, bz, cz, aux_u64, a_exps_u64, b_exps_u64
             )
@@ -1087,7 +1186,10 @@ def create_proofs_from_assemblies(
                 [fused["b_g1"]], [fused["b_g2"]],
             ))
             continue
-        h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)
+        if use_dev_abc:
+            h_coeffs = _compute_h_device(dom, cs, m, _u64x4_to_u16(full_u64))
+        else:
+            h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)
         h_digits = _h_scalar_input(h_coeffs, m, n_g1)
         h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
         l_dev = _msm_query_async(params, "l", aux_u64, mesh=mesh)

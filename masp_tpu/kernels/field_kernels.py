@@ -189,6 +189,51 @@ def rows_point_add(mul, add, sub, b3_mul, p, q):
     return (X3, Y3, Z3)
 
 
+def rows_point_add01(mul, add, sub, b3_mul, mask_of, const_sel, p, q):
+    """RCB'15 complete add SPECIALIZED to Z1, Z2 ∈ {0, mont-1} — the MSM
+    ladder's leaf level (gathered parameter rows are affine points or
+    encoded identities). Three of the 12 field muls collapse:
+      t2 = Z1*Z2            -> a constant select on the two masks
+      (Y1+Z1)(Y2+Z2)-t1-t2  -> Y1*Z2 + Z1*Y2 = sel(m2,Y1) + sel(m1,Y2)
+      (X1+Z1)(X2+Z2)-t0-t2  -> sel(m2,X1) + sel(m1,X2)
+    mask_of(Z) -> boolean (TB,128) mask (Z != 0); const_sel(mask) -> rows
+    of mont-1 where mask else 0 (limb constants fold into the kernel)."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    m1 = mask_of(Z1)
+    m2 = mask_of(Z2)
+
+    def msel(m, rows):
+        return [jnp.where(m, r, 0) for r in rows]
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = const_sel(jnp.logical_and(m1, m2))
+    t3 = add(X1, Y1)
+    t4 = add(X2, Y2)
+    t3 = mul(t3, t4)
+    t4 = add(t0, t1)
+    t3 = sub(t3, t4)
+    t4 = add(msel(m2, Y1), msel(m1, Y2))   # was (Y1+Z1)(Y2+Z2)-t1-t2
+    Y3 = add(msel(m2, X1), msel(m1, X2))   # was (X1+Z1)(X2+Z2)-t0-t2
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)
+    t2 = b3_mul(t2)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = b3_mul(Y3)
+    X3 = mul(t4, Y3)
+    t2 = mul(t3, t1)
+    X3 = sub(t2, X3)
+    Y3 = mul(Y3, t0)
+    t1 = mul(t1, Z3)
+    Y3 = add(t1, Y3)
+    t0 = mul(t0, t3)
+    Z3 = mul(Z3, t4)
+    Z3 = add(Z3, t0)
+    return (X3, Y3, Z3)
+
+
 # --- kernels ---------------------------------------------------------------
 
 TB = 8  # sublane-group batch per program (TB*128 elements)
@@ -220,6 +265,59 @@ def _g1_add_kernel(spec, px, py, pz, qx, qy, qz, ox, oy, oz):
     q = tuple(_read_rows(r, L) for r in (qx, qy, qz))
     X3, Y3, Z3 = rows_point_add(
         mul, add, sub, lambda a: rows_mul_small(spec, a, 12), p, q
+    )
+    _write_rows(ox, X3)
+    _write_rows(oy, Y3)
+    _write_rows(oz, Z3)
+
+
+def _g1_add01_kernel(spec, px, py, pz, qx, qy, qz, ox, oy, oz):
+    from masp_tpu.ops.field_jax import int_to_limbs
+
+    L = spec.L
+    one_limbs = [int(x) for x in int_to_limbs(spec.R_mod, L)]
+    p = tuple(_read_rows(r, L) for r in (px, py, pz))
+    q = tuple(_read_rows(r, L) for r in (qx, qy, qz))
+
+    def const_sel(m):
+        return [jnp.where(m, jnp.uint32(v), jnp.uint32(0)) for v in one_limbs]
+
+    X3, Y3, Z3 = rows_point_add01(
+        partial(rows_mont_mul, spec),
+        partial(rows_add, spec),
+        partial(rows_sub, spec),
+        lambda a: rows_mul_small(spec, a, 12),
+        lambda Z: Z[0] != 0,
+        const_sel,
+        p, q,
+    )
+    _write_rows(ox, X3)
+    _write_rows(oy, Y3)
+    _write_rows(oz, Z3)
+
+
+def _g2_add01_kernel(spec, px, py, pz, qx, qy, qz, ox, oy, oz):
+    from masp_tpu.ops.field_jax import int_to_limbs
+
+    L = spec.L
+    L2 = 2 * L
+    one_limbs = [int(x) for x in int_to_limbs(spec.R_mod, L)]
+    p = tuple(_read_rows(r, L2) for r in (px, py, pz))
+    q = tuple(_read_rows(r, L2) for r in (qx, qy, qz))
+
+    def const_sel(m):
+        c0 = [jnp.where(m, jnp.uint32(v), jnp.uint32(0)) for v in one_limbs]
+        zero = jnp.zeros_like(c0[0])
+        return c0 + [zero] * L
+
+    X3, Y3, Z3 = rows_point_add01(
+        partial(rows2_mul, spec),
+        partial(rows2_add, spec),
+        partial(rows2_sub, spec),
+        partial(rows2_b3_mul, spec),
+        lambda Z: Z[0] != 0,  # Fq2 mont-1 = (R mod q, 0): c0 limb 0 != 0
+        const_sel,
+        p, q,
     )
     _write_rows(ox, X3)
     _write_rows(oy, Y3)
@@ -275,10 +373,15 @@ def _block_spec(Lk, tb):
 
 @lru_cache(maxsize=None)
 def _g_add_callable(kind: str, tb: int):
-    """kind: 'g1' or 'g2'. Returns f(6 coord arrays in kernel layout) -> 3."""
+    """kind: 'g1'/'g2' (complete add) or 'g1_01'/'g2_01' (leaf-level add
+    specialized to Z in {0, mont-1}: 9 muls instead of 12). Returns
+    f(6 coord arrays in kernel layout) -> 3."""
     spec = FQ
-    Lk = spec.L if kind == "g1" else 2 * spec.L
-    kernel = _g1_add_kernel if kind == "g1" else _g2_add_kernel
+    Lk = spec.L if kind.startswith("g1") else 2 * spec.L
+    kernel = {
+        "g1": _g1_add_kernel, "g2": _g2_add_kernel,
+        "g1_01": _g1_add01_kernel, "g2_01": _g2_add01_kernel,
+    }[kind]
     kern = partial(kernel, spec)  # one object: lets tracing/lowering cache
 
     def run(px, py, pz, qx, qy, qz):
@@ -308,6 +411,17 @@ def pallas_point_add(fops_kind: str, p, q, coord_shape):
     B = p[0].shape[0]
     enc = [to_kernel_layout(c, TB)[0] for c in (*p, *q)]
     ox, oy, oz = _g_add_callable(fops_kind, TB)(*enc)
+    return tuple(from_kernel_layout(o, B, coord_shape) for o in (ox, oy, oz))
+
+
+def pallas_point_add01(fops_kind: str, p, q, coord_shape):
+    """pallas_point_add for operands whose Z is 0 or Montgomery-1 (the MSM
+    ladder's LEAF level: encoded affine parameter points / identity pads):
+    9 field muls instead of 12. The padding introduced by to_kernel_layout
+    is all-zero rows = identities, valid inputs for this formula."""
+    B = p[0].shape[0]
+    enc = [to_kernel_layout(c, TB)[0] for c in (*p, *q)]
+    ox, oy, oz = _g_add_callable(fops_kind + "_01", TB)(*enc)
     return tuple(from_kernel_layout(o, B, coord_shape) for o in (ox, oy, oz))
 
 

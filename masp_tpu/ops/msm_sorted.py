@@ -130,6 +130,15 @@ def _g_neg(fops, p):
     return (X, ny, Z)
 
 
+# Wide (suffix-scan) bucket reduction: log2(B) W-wide add steps + a
+# halving-ladder sum instead of B-1 sequential running-suffix steps.
+# Measured NEGATIVE on v5e (Spend serial 1.016 -> 1.127 s/proof): the
+# ~3.5x extra group adds (65k vs 16k per MSM) cost more than the 510->16
+# step-count reduction saves — per-step overhead inside one compiled
+# program is small, unlike across dispatches. Kept for the record.
+WIDE_REDUCE = os.environ.get("MASP_MSM_WIDE_REDUCE", "0") == "1"
+
+
 def bucket_reduce_horner(fops, buckets, c: int, like):
     """(W, B, ...) bucket sums -> single projective point (no batch axis).
 
@@ -138,17 +147,50 @@ def bucket_reduce_horner(fops, buckets, c: int, like):
     bx, by, bz = buckets
     n_windows = bx.shape[0]
     B = bx.shape[1]
-    ident_w = _traced_identity(fops, like, (n_windows,))
 
-    def bucket_body(j, carry):
-        running, acc = carry
-        k = B - 1 - j  # k from B-1 down to 1
-        bucket = (bx[:, k], by[:, k], bz[:, k])
-        running = W.g_add(fops, running, bucket)
-        acc = W.g_add(fops, acc, running)
-        return (running, acc)
+    if WIDE_REDUCE:
+        # suffix scan along the bucket axis, then sum_{j>=1} S[w, j]
+        cur = (bx, by, bz)
+        ident_wb = _traced_identity(fops, like, (n_windows, B))
+        d = 1
+        while d < B:
+            shifted = tuple(
+                jnp.concatenate([cc[:, d:], iw[:, :d]], axis=1)
+                for cc, iw in zip(cur, ident_wb)
+            )
+            cur = W.g_add(fops, cur, shifted)
+            d *= 2
+        Bp = 1 << (B - 2).bit_length() if B > 2 else 1
+        ident_pad = _traced_identity(fops, like, (n_windows, Bp - (B - 1)))
+        cur = tuple(
+            jnp.concatenate([cc[:, 1:], ip], axis=1)
+            for cc, ip in zip(cur, ident_pad)
+        )
+        while cur[0].shape[1] > 1:
+            nh = cur[0].shape[1] // 2
+            paired = [
+                cc.reshape((n_windows, nh, 2) + cc.shape[2:]) for cc in cur
+            ]
+            cur = W.g_add(
+                fops,
+                tuple(pc[:, :, 0] for pc in paired),
+                tuple(pc[:, :, 1] for pc in paired),
+            )
+        window_sums = tuple(cc[:, 0] for cc in cur)
+    else:
+        ident_w = _traced_identity(fops, like, (n_windows,))
 
-    _, window_sums = jax.lax.fori_loop(0, B - 1, bucket_body, (ident_w, ident_w))
+        def bucket_body(j, carry):
+            running, acc = carry
+            k = B - 1 - j  # k from B-1 down to 1
+            bucket = (bx[:, k], by[:, k], bz[:, k])
+            running = W.g_add(fops, running, bucket)
+            acc = W.g_add(fops, acc, running)
+            return (running, acc)
+
+        _, window_sums = jax.lax.fori_loop(
+            0, B - 1, bucket_body, (ident_w, ident_w)
+        )
 
     ident_1 = _traced_identity(fops, like, (1,))
 
@@ -213,6 +255,8 @@ def window_buckets(fops, points_packed, digits, c: int, signed: bool = False):
             cur = W.point_select(sg, _g_neg(fops, cur), cur)
 
         # up-sweep: nodes[l][j] = sum of sorted points [j*2^l, (j+1)*2^l)
+        # (leaf level via the Z∈{0,mont1} specialized add: the gathered
+        # rows are encoded affine parameter points or identity pads)
         nodes = [cur]
         for _l in range(levels):
             n_half = cur[0].shape[0] // 2
@@ -221,7 +265,7 @@ def window_buckets(fops, points_packed, digits, c: int, signed: bool = False):
             ]
             e = tuple(pc[:, 0] for pc in paired)
             o = tuple(pc[:, 1] for pc in paired)
-            cur = W.g_add(fops, e, o)
+            cur = (W.g_add01 if _l == 0 else W.g_add)(fops, e, o)
             nodes.append(cur)
 
         # exclusive-prefix queries at the B bucket boundaries
@@ -291,7 +335,8 @@ def masked_sum(fops, points_packed, bits):
         paired = [cc.reshape((n_half, 2) + cc.shape[1:]) for cc in cur]
         e = tuple(pc[:, 0] for pc in paired)
         o = tuple(pc[:, 1] for pc in paired)
-        cur = W.g_add(fops, e, o)
+        # leaf level: encoded points / identity pads have Z in {0, mont1}
+        cur = (W.g_add01 if _l == 0 else W.g_add)(fops, e, o)
     return tuple(c[0] for c in cur)
 
 

@@ -253,6 +253,40 @@ def g_add(fops, p, q):
     return point_add(fops, p, q)
 
 
+def g_add01(fops, p, q):
+    """g_add for operands whose Z coordinates are 0 or (Montgomery) 1 —
+    the MSM ladder's leaf level, where every input is an encoded affine
+    parameter point or an identity pad. On the pallas path this uses the
+    specialized 9-mul kernel; elsewhere the general complete formula (for
+    which the precondition is simply irrelevant)."""
+    from masp_tpu.ops import field_jax as _F
+
+    if (
+        _F.get_impl() == "pallas"
+        and fops in (G1Ops, G2Ops)
+        and not hasattr(fops, "add_points")
+    ):
+        from masp_tpu.kernels.field_kernels import pallas_point_add01
+
+        kind = "g1" if fops is G1Ops else "g2"
+        cshape = fops.coord_shape
+        nb = len(cshape)
+        shapes = [c.shape[:-nb] for c in (*p, *q)]
+        batch_shape = shapes[0]
+        for sh in shapes:
+            batch_shape = jnp.broadcast_shapes(batch_shape, sh)
+
+        def flat(c):
+            c = jnp.broadcast_to(c, batch_shape + cshape)
+            return c.reshape((-1,) + cshape)
+
+        out = pallas_point_add01(
+            kind, tuple(map(flat, p)), tuple(map(flat, q)), cshape
+        )
+        return tuple(o.reshape(batch_shape + cshape) for o in out)
+    return g_add(fops, p, q)
+
+
 def g_double(fops, p):
     return point_add(fops, p, p)
 

@@ -46,6 +46,33 @@ def test_pallas_point_add_matches_host():
     assert all(g == (x + y) for g, x, y in zip(got, pts1, pts2))
 
 
+def test_pallas_point_add01_matches_host():
+    """The leaf-level specialized add (Z in {0, mont-1}) must agree with
+    the host on every affine/identity combination, for G1 and G2."""
+    from masp_tpu.curves.bls12_381 import G1, G2, R
+    from masp_tpu.kernels import field_kernels as K
+    from masp_tpu.ops import field_jax as F
+    from masp_tpu.ops import weierstrass_jax as W
+
+    rng = random.Random(5)
+    for grp, kind, enc, dec, cshape in (
+        (G1, "g1", W.encode_g1_points, W.decode_g1_points, (F.FQ.L,)),
+        (G2, "g2", W.encode_g2_points, W.decode_g2_points, (2, F.FQ.L)),
+    ):
+        pts1 = [grp.generator() * rng.randrange(1, R) for _ in range(29)]
+        pts2 = [grp.generator() * rng.randrange(1, R) for _ in range(29)]
+        # identity x point, point x identity, identity x identity, P + P,
+        # P + (-P)
+        pts1 += [grp.identity(), pts1[0], grp.identity(), pts1[1], pts1[2]]
+        pts2 += [pts2[0], grp.identity(), grp.identity(), pts1[1], -pts1[2]]
+        P = tuple(map(jnp.asarray, enc(pts1)))
+        Q_ = tuple(map(jnp.asarray, enc(pts2)))
+        out = K.pallas_point_add01(kind, P, Q_, cshape)
+        got = dec(*out)
+        for g, x, y in zip(got, pts1, pts2):
+            assert g == (x + y), (kind, x, y)
+
+
 def test_sorted_msm_pallas_matches_host():
     """The production MSM (pallas mode) vs a host bigint MSM — the
     pallas-only regression guard VERDICT asked for (tests ran compact)."""

@@ -28,7 +28,9 @@ run env MASP_BENCH_CIRCUIT=convert MASP_BENCH_ITERS=9 python bench.py
 run env MASP_BENCH_CIRCUIT=spend MASP_BENCH_ITERS=3 MASP_BENCH_BATCH=8 python bench.py
 run env MASP_BENCH_CIRCUIT=output MASP_BENCH_ITERS=3 MASP_BENCH_BATCH=8 python bench.py
 run env MASP_TEST_TPU=1 python -m pytest tests/test_kernels_tpu.py -q
+run env MASP_VERIFY_BATCH=1 python tools/bench_verify.py
 run env MASP_VERIFY_BATCH=8 python tools/bench_verify.py
+run env MASP_VERIFY_BATCH=64 python tools/bench_verify.py
 run env MASP_TX_ITERS=3 python tools/bench_tx.py
 run env MASP_MIXED_ITERS=2 python tools/bench_mixed_batch.py
 echo "=== session done $(date -u +%H:%M:%S)" >> "$LOG"
