@@ -83,6 +83,16 @@ MSM_FUSED = MSM_FUSED and MSM_FROM_LIMBS
 # host LC eval (~60 ms/proof for Spend) and the 3x(m, L) limb transfer
 # (~12.6 MB) with ONE (n_vars, L) witness transfer (~5.8 MB).
 ABC_DEVICE = os.environ.get("MASP_ABC_DEVICE", "1") == "1"
+# round-4 BGMW fixed-base tables for the h query: Groth16 proving MSMs run
+# over FIXED parameter points, so [2^(c*w)]P_i slabs are precomputed once
+# per params load (ONE device program: c doublings per slab + a batched
+# affinization) and the 32-window c=8 Pippenger collapses to single-window
+# merged MSMs at c=12 (22 windows -> [16,4,2] power-of-two groups):
+# ~1.45x fewer tree adds, no Horner doublings, smaller gathers. Costs
+# ~(W-1)x the h rows in HBM (~800 MB at 2^17).
+MSM_BGMW_H = os.environ.get("MASP_MSM_BGMW_H", "0") == "1"
+MSM_BGMW_C = int(os.environ.get("MASP_MSM_BGMW_C", "12"))
+MSM_BGMW_H = MSM_BGMW_H and MSM_IMPL == "sorted" and MSM_FROM_LIMBS
 
 
 def _eval_lc_rows(rows, inputs, aux):
@@ -790,6 +800,35 @@ def _msm_g2_async(points_dev, digits, mesh=None):
     return fn(*points_dev, digits)
 
 
+def _prepare_bgmw_h(params: Parameters) -> None:
+    """Build (once, on device) the BGMW table for the h query."""
+    if "h_bgmw" in params.device or "h" not in params.device:
+        return
+    from masp_tpu.ops import msm_sorted as MS
+
+    key = ("bgmw_build", params.device["h"].shape[0], MSM_BGMW_C)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda pk: MS.build_bgmw_table(W.G1Ops, pk, MSM_BGMW_C)
+        )
+        _JIT_CACHE[key] = fn
+    params.device["h_bgmw"] = fn(params.device["h"])
+
+
+def _msm_h_bgmw_async(table_dev, h_limbs):
+    from masp_tpu.ops import msm_sorted as MS
+
+    key = ("msm_h_bgmw", table_dev.shape[0])
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda t, s: MS.bgmw_msm_from_limbs(W.G1Ops, t, s, MSM_BGMW_C)
+        )
+        _JIT_CACHE[key] = fn
+    return fn(table_dev, h_limbs)
+
+
 def _msm_g1_batch_async(points_stack, digits_stack):
     """Q same-size G1 MSMs in one vmapped program (no host sync).
 
@@ -941,6 +980,8 @@ def prepare_device_params(params: Parameters, mesh=None) -> None:
             params.device["_host_rows"] = {
                 k: host_rows[k] for k in ("l", "a", "b_g1", "b_g2")
             }
+        if MSM_BGMW_H and mesh is None and not MSM_STACK:
+            _prepare_bgmw_h(params)
         return
     params.device["n_g1"] = _pad_to(n_max, MSM_LANES_G1)
     n_pad = params.device["n_g1"]
@@ -1059,7 +1100,10 @@ def create_proof_from_assembly(
         h_digits = _h_scalar_input(h_coeffs, m, n_g1)
 
         if not stacked:
-            h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
+            if MSM_BGMW_H and mesh is None and "h_bgmw" in params.device:
+                h_dev = _msm_h_bgmw_async(params.device["h_bgmw"], h_digits)
+            else:
+                h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
 
     # density-filtered exponent vectors (structure static per circuit: cache)
     with span("exponent_marshal"):
@@ -1191,7 +1235,10 @@ def create_proofs_from_assemblies(
         else:
             h_coeffs = _compute_h_coeffs(dom, az, bz, cz, mesh=mesh)
         h_digits = _h_scalar_input(h_coeffs, m, n_g1)
-        h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
+        if MSM_BGMW_H and mesh is None and "h_bgmw" in params.device:
+            h_dev = _msm_h_bgmw_async(params.device["h_bgmw"], h_digits)
+        else:
+            h_dev = _msm_g1_async(params.device["h"], h_digits, mesh=mesh)
         l_dev = _msm_query_async(params, "l", aux_u64, mesh=mesh)
         a_dev = _msm_query_async(params, "a", a_exps_u64, mesh=mesh)
         b1_dev = _msm_query_async(params, "b_g1", b_exps_u64, mesh=mesh)

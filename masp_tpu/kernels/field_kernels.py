@@ -446,10 +446,13 @@ def _mont_mul_callable(spec_name: str, tb: int):
 
 
 def pallas_mont_mul(spec: FieldSpec, a, b):
-    """Drop-in for F.mont_mul on (B, L) arrays (1-D batch)."""
-    shape = a.shape[:-1]
-    a2 = a.reshape(-1, spec.L)
-    b2 = jnp.broadcast_to(b, a.shape).reshape(-1, spec.L)
+    """Drop-in for F.mont_mul on (..., L) arrays: operands broadcast
+    symmetrically (a constant (L,) times a batched (B, L) works in either
+    argument order — the one-sided broadcast here crashed
+    batch_from_bytes's D_MONT * v2 with a batch on the right)."""
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a2 = jnp.broadcast_to(a, shape + (spec.L,)).reshape(-1, spec.L)
+    b2 = jnp.broadcast_to(b, shape + (spec.L,)).reshape(-1, spec.L)
     ak, B = to_kernel_layout(a2, TB)
     bk, _ = to_kernel_layout(b2, TB)
     out = _mont_mul_callable(spec.name, TB)(ak, bk)

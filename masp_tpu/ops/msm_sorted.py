@@ -148,7 +148,10 @@ def bucket_reduce_horner(fops, buckets, c: int, like):
     n_windows = bx.shape[0]
     B = bx.shape[1]
 
-    if WIDE_REDUCE:
+    # the fori path's B-1 sequential width-W steps lose badly once B is
+    # large and W small (the BGMW merged window: W=1, B=4096 -> 8190
+    # width-1 steps); the suffix scan's log2(B) wide steps win there
+    if WIDE_REDUCE or B >= 1024:
         # suffix scan along the bucket axis, then sum_{j>=1} S[w, j]
         cur = (bx, by, bz)
         ident_wb = _traced_identity(fops, like, (n_windows, B))
@@ -316,6 +319,99 @@ def sorted_msm_from_limbs(fops, points_packed, limbs16, c: int,
     Balanced signed digits by default."""
     digits = windows_from_limbs(limbs16, c, signed=signed)
     return sorted_msm(fops, points_packed, digits, c, signed=signed)
+
+
+def _pow2_groups(w: int) -> list[int]:
+    """Decompose a window count into descending powers of two (22 ->
+    [16, 4, 2]): the BGMW merged MSM needs power-of-two entry counts for
+    the halving ladder, and padding 22*N up to 32*N would cost back the
+    adds the tables saved."""
+    out = []
+    bit = 1 << (w.bit_length() - 1)
+    while w:
+        if w >= bit:
+            out.append(bit)
+            w -= bit
+        bit >>= 1
+    return out
+
+
+def build_bgmw_table(fops, points_packed, c: int):
+    """Fixed-base (BGMW) table for a parameter query: slab w holds
+    [2^(c*w)]P_i in affine-or-identity encoding (Z in {0, mont-1}, so the
+    ladder's leaf-level specialized add stays valid). Returns
+    (W*N, rowlen) rows, slab-major.
+
+    Rationale: Groth16 proving MSMs run over FIXED parameter points, so
+    per-window point multiples can be precomputed once per params load.
+    With the table, the W-window Pippenger collapses to single-window
+    merged MSMs over the (point, window) pairs: ceil(255/c)/ceil(255/8)
+    fewer tree adds at c > 8 and no Horner doubling chain. G1 only (the
+    is_zero identity test below assumes a rank-1 coordinate)."""
+    n_windows = n_windows_for(c)
+    N = points_packed.shape[0]
+    rowlen = points_packed.shape[1]
+
+    def body(w, carry):
+        cur_packed, table = carry
+        cur = _unpack(fops, cur_packed)
+
+        def dbl(_, p):
+            return W.g_add(fops, p, p)
+
+        cur = jax.lax.fori_loop(0, c, dbl, cur)
+        cur_packed = pack_points(cur)
+        table = jax.lax.dynamic_update_slice(
+            table, cur_packed[None], (w, 0, 0)
+        )
+        return cur_packed, table
+
+    table0 = jnp.zeros((n_windows - 1, N, rowlen), points_packed.dtype)
+    _, table = jax.lax.fori_loop(
+        0, n_windows - 1, body, (points_packed, table0)
+    )
+    # one batched affinization for every slab: Z in {0, mont-1} afterwards
+    X, Y, Z = _unpack(fops, table.reshape((n_windows - 1) * N, rowlen))
+    nonzero = jnp.logical_not(fops.is_zero(Z)).astype(jnp.int32)
+    zinv = fops.batch_inv(Z)
+    x = fops.mul(X, zinv)
+    y = fops.mul(Y, zinv)
+    one = fops.one_like(x)
+    zero = fops.zeros_like(x)
+    aff = W.point_select(nonzero, (x, y, one), (zero, one, zero))
+    return jnp.concatenate(
+        [points_packed, pack_points(aff)], axis=0
+    )
+
+
+def bgmw_msm_from_limbs(fops, table_rows, limbs16, c: int):
+    """sum_i [s_i] P_i against a build_bgmw_table table: merged
+    single-window MSMs over the (point, window) pairs, grouped into
+    power-of-two window counts; the slab points carry the 2^(c*w) window
+    weights, so there is no Horner chain."""
+    N = limbs16.shape[0]
+    digits = windows_from_limbs(limbs16, c)  # (N, W)
+    Wn = digits.shape[1]
+    assert table_rows.shape[0] == Wn * N, (table_rows.shape, Wn, N)
+    total = None
+    off = 0
+    for g in _pow2_groups(Wn):
+        d = digits[:, off : off + g].T.reshape(g * N, 1)
+        rows_g = jax.lax.dynamic_slice_in_dim(table_rows, off * N, g * N, 0)
+        like = _unpack(fops, rows_g)[0]
+        bk = window_buckets(fops, rows_g, d, c)
+        pt = bucket_reduce_horner(fops, bk, c, like)
+        if total is None:
+            total = pt
+        else:
+            comb = W.g_add(
+                fops,
+                tuple(t[None] for t in total),
+                tuple(p[None] for p in pt),
+            )
+            total = tuple(x[0] for x in comb)
+        off += g
+    return total
 
 
 def masked_sum(fops, points_packed, bits):

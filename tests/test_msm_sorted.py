@@ -39,6 +39,55 @@ def test_sorted_msm_g1(c):
     assert got == _host_msm(points, scalars)
 
 
+def test_sorted_msm_wide_reduce_flag():
+    """MASP_MSM_WIDE_REDUCE=1 (suffix-scan bucket reduction — a measured
+    TPU negative kept behind a flag) must stay bit-identical."""
+    rng = np.random.default_rng(11)
+    n = 32
+    g = G1.generator()
+    points = [g * (int(rng.integers(1, 1 << 62))) for _ in range(n)]
+    scalars = _rand_scalars(rng, n)
+    coords = [np.asarray(x) for x in W.encode_g1_points(points)]
+    digits = M.scalars_to_digits(scalars, 4, 256)
+    packed = MS.pack_points(tuple(coords))
+    old = MS.WIDE_REDUCE
+    try:
+        MS.WIDE_REDUCE = True
+        out = MS.sorted_msm(W.G1Ops, packed, digits, 4)
+    finally:
+        MS.WIDE_REDUCE = old
+    got = W.decode_g1_points(*(np.asarray(x)[None] for x in out))[0]
+    assert got == _host_msm(points, scalars)
+
+
+@pytest.mark.parametrize("c", [4, 5])
+def test_bgmw_msm_matches_host(c):
+    """BGMW fixed-base tables (device-built doubling slabs + batched
+    affinization) + merged single-window MSMs over power-of-two window
+    groups must agree with the host MSM (c=5 exercises the [32,16,2,1]
+    non-trivial group split)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    n = 16
+    g = G1.generator()
+    points = [g * (int(rng.integers(1, 1 << 62))) for _ in range(n - 1)]
+    points.append(G1.identity())  # identity slab entries stay identity
+    scalars = _rand_scalars(rng, n)
+    scalars[2] = 0
+    coords = [np.asarray(x) for x in W.encode_g1_points(points)]
+    packed = jnp.asarray(MS.pack_points(tuple(coords)))
+    limbs = np.zeros((n, 16), dtype=np.uint16)
+    for i, s in enumerate(scalars):
+        for j in range(16):
+            limbs[i, j] = (s >> (16 * j)) & 0xFFFF
+    table = MS.build_bgmw_table(W.G1Ops, packed, c)
+    assert table.shape[0] == MS.n_windows_for(c) * n
+    out = MS.bgmw_msm_from_limbs(W.G1Ops, table, jnp.asarray(limbs), c)
+    got = W.decode_g1_points(*(np.asarray(x)[None] for x in out))[0]
+    assert got == _host_msm(points, scalars)
+
+
 def test_sorted_msm_matches_pippenger():
     rng = np.random.default_rng(7)
     n = 128

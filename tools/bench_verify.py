@@ -72,9 +72,13 @@ def main():
 
     timed("groth16 host-pairing", lambda: verify_proofs_batch(
         pvk, XorShiftRng.from_seed(b"\x01" * 16), proofs, inputs))
-    timed("groth16 device-pairing", lambda: verify_proofs_batch(
-        pvk, XorShiftRng.from_seed(b"\x02" * 16), proofs, inputs,
-        use_device_pairing=True))
+    # The chunked device pairing is bit-exact but pays hundreds of small
+    # sequential dispatches through the axon relay (~292 s per batch
+    # measured at B=1) — skippable when only the other paths are wanted.
+    if os.environ.get("MASP_VERIFY_SKIP_DEVICE_PAIRING") != "1":
+        timed("groth16 device-pairing", lambda: verify_proofs_batch(
+            pvk, XorShiftRng.from_seed(b"\x02" * 16), proofs, inputs,
+            use_device_pairing=True))
 
     # RedJubjub signature batch (spend-auth shaped)
     p_g = spending_key_generator()
