@@ -239,7 +239,12 @@ class Fq12:
         return Fq12(c0, c1)
 
     def square(self):
-        return self * self
+        # complex squaring over Fq6: (a + bw)^2 with w^2 = v costs two
+        # Fq6 muls instead of the generic three.
+        a, b = self.c0, self.c1
+        t = a * b
+        c0 = (a + b) * (a + b.mul_by_v()) - t - t.mul_by_v()
+        return Fq12(c0, t + t)
 
     def conjugate(self):
         """f^(q^6): negates the w component."""
@@ -653,19 +658,59 @@ def multi_miller_loop(pairs: list[tuple[G1, G2]]) -> Fq12:
     return f
 
 
-def final_exponentiation(f: Fq12) -> Fq12:
-    """f^((q^12 - 1) / r). Easy part via frobenius/inverse; hard part by
-    direct exponentiation with the exact integer exponent (host-side, not
-    perf-critical)."""
-    # easy part: f^((q^6 - 1)(q^2 + 1))
+def _cyc_pow(g: Fq12, e: int) -> Fq12:
+    """g^e for g in the cyclotomic subgroup, where inversion is free:
+    g^(q^6+1) = 1 after the easy part, so g^-1 = conjugate(g)."""
+    if e < 0:
+        g, e = g.conjugate(), -e
+    result = Fq12.one()
+    base = g
+    while e:
+        if e & 1:
+            result = result * base
+        base = base.square()
+        e >>= 1
+    return result
+
+
+def _easy_part(f: Fq12) -> Fq12:
+    """f^((q^6 - 1)(q^2 + 1)) — lands f in the cyclotomic subgroup."""
     f1 = f.conjugate()  # f^(q^6)
     f2 = f.invert()
     assert f2 is not None
     f = f1 * f2
-    f = f.frobenius().frobenius() * f
-    # hard part: exponent (q^4 - q^2 + 1) / r
+    return f.frobenius().frobenius() * f
+
+
+def final_exponentiation(f: Fq12) -> Fq12:
+    """f^((q^12 - 1) / r), exact value (NOT the f^(3d) shortcut some
+    libraries use — keeps bit-equality with the device pairing and any
+    pinned vectors).
+
+    Hard part d = (q^4 - q^2 + 1)/r via the curve-parameter chain
+    (u = -BLS_X, m = (u-1)/3; identity checked exactly in
+    tests/test_bls12_381.py):
+
+        d = m * (u-1) * (u + q) * (u^2 + q^2 - 1) + 1
+
+    where q-powers are Frobenius maps and cyclotomic inverses are
+    conjugations — ~330 squarings + ~35 muls instead of the naive
+    1523-bit square-and-multiply (~6x fewer Fq12 ops)."""
+    g = _easy_part(f)
+    u = -BLS_X
+    t = _cyc_pow(g, (u - 1) // 3)
+    t = _cyc_pow(t, u - 1)
+    t = _cyc_pow(t, u) * t.frobenius()  # ^(u + q)
+    # ^(u^2 + q^2 - 1)
+    t = _cyc_pow(_cyc_pow(t, u), u) * t.frobenius().frobenius() * t.conjugate()
+    return t * g
+
+
+def _final_exponentiation_naive(f: Fq12) -> Fq12:
+    """Reference oracle: hard part by direct exponentiation with the
+    exact integer exponent. Kept for the chain-equality test."""
     d = (Q**4 - Q**2 + 1) // R
-    return f.pow(d)
+    return _easy_part(f).pow(d)
 
 
 def pairing(p: G1, q: G2) -> Fq12:

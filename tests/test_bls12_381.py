@@ -84,3 +84,29 @@ def test_fq2_sqrt():
     x = Fq2(1234567, 7654321)
     s = x.square().sqrt()
     assert s is not None and s.square() == x.square()
+
+
+def test_final_exponentiation_chain_exact():
+    """The u-parameter hard-part chain computes exactly f^((q^4-q^2+1)/r)
+    (not the f^(3d) shortcut) — checked against the naive integer
+    exponentiation on a real Miller-loop output, plus the integer
+    identity the chain relies on."""
+    from masp_tpu.curves.bls12_381 import (
+        BLS_X, Q, _final_exponentiation_naive, final_exponentiation,
+        multi_miller_loop,
+    )
+
+    u = -BLS_X
+    d = (Q**4 - Q**2 + 1) // R
+    assert (u - 1) % 3 == 0
+    assert ((u - 1) // 3) * (u - 1) * (u + Q) * (u * u + Q * Q - 1) + 1 == d
+
+    f = multi_miller_loop([(G1.generator() * 987654321, G2.generator() * 123456789)])
+    assert final_exponentiation(f) == _final_exponentiation_naive(f)
+
+
+def test_fq12_complex_squaring():
+    from masp_tpu.curves.bls12_381 import Fq12, multi_miller_loop
+    f = multi_miller_loop([(G1.generator() * 31337, G2.generator() * 271828)])
+    assert f.square() == f * f
+    assert Fq12.one().square() == Fq12.one()
