@@ -20,6 +20,8 @@ against this module.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 Q = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
 R = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
 # BLS parameter; x < 0 for BLS12-381.
@@ -631,9 +633,10 @@ def _line(T: _E12, S: _E12, px: Fq12, py: Fq12) -> Fq12:
     return py - T.y - lam * (px - T.x)
 
 
-def multi_miller_loop(pairs: list[tuple[G1, G2]]) -> Fq12:
-    """Product of Miller loops for the given (P, Q) pairs — the batched form
-    the Groth16 verifier wants (one shared squaring chain)."""
+def _multi_miller_loop_untwisted(pairs: list[tuple[G1, G2]]) -> Fq12:
+    """Reference oracle: the loop over untwisted E(Fq12) points with full
+    Fq12 point arithmetic. Kept for the equality test against the fast
+    twisted-coordinate loop below."""
     pairs = [
         (_embed_g1(p), _untwist(q))
         for (p, q) in pairs
@@ -653,6 +656,102 @@ def multi_miller_loop(pairs: list[tuple[G1, G2]]) -> Fq12:
             for i, ((px, py), q) in enumerate(pairs):
                 f = f * _line(Ts[i], q, px, py)
                 Ts[i] = Ts[i] + q
+    if BLS_X_IS_NEGATIVE:
+        f = f.conjugate()
+    return f
+
+
+def _batch_inv_fq2(xs: list[Fq2]) -> list[Fq2]:
+    """Montgomery's trick: n Fq2 inversions for one Fq inversion + 3(n-1)
+    Fq2 muls. Inputs must be nonzero."""
+    n = len(xs)
+    prefix = [None] * n
+    acc = Fq2(1, 0)
+    for i, x in enumerate(xs):
+        prefix[i] = acc
+        acc = acc * x
+    inv = acc.invert()
+    assert inv is not None
+    out = [None] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = inv * prefix[i]
+        inv = inv * xs[i]
+    return out
+
+
+def _mul_by_line(f: Fq12, A: Fq2, B: Fq2, C: Fq2) -> Fq12:
+    """f × (A + B·vw + C·v²w) — the sparse Fq12 shape every Miller line
+    takes (device twin: ops/pairing_jax.py _line_fq12). 15 Fq2 muls via
+    Karatsuba over w instead of the generic 18."""
+    f0, f1 = f.c0, f.c1
+    # f0 · (A, 0, 0): coefficient-wise scale
+    v0 = Fq6(f0.c0 * A, f0.c1 * A, f0.c2 * A)
+    # f1 · (0, B, C): (a0 + a1 v + a2 v²)(B v + C v²), v³ = ξ
+    a0, a1, a2 = f1.c0, f1.c1, f1.c2
+    v1 = Fq6(
+        (a1 * C + a2 * B).mul_by_xi(),
+        a0 * B + (a2 * C).mul_by_xi(),
+        a0 * C + a1 * B,
+    )
+    mid = (f0 + f1) * Fq6(A, B, C) - v0 - v1
+    return Fq12(v0 + v1.mul_by_v(), mid)
+
+
+@lru_cache(maxsize=1)
+def _xi_inv() -> Fq2:
+    inv = XI.invert()
+    assert inv is not None
+    return inv
+
+
+def multi_miller_loop(pairs: list[tuple[G1, G2]]) -> Fq12:
+    """Product of Miller loops for the given (P, Q) pairs — the batched form
+    the Groth16 verifier wants (one shared squaring chain).
+
+    Fast path: T stays in affine Fq2 on the twist E'; the line through the
+    untwisted points evaluated at embedded (px, py) is the sparse element
+    p_y + (λ'x_T − y_T)ξ⁻¹·vw − λ'p_x ξ⁻¹·v²w  (λ = λ'w⁻¹ under the
+    untwist — same derivation as the device loop, ops/pairing_jax.py
+    _slope_lines), multiplied in sparsely. Per-step slope denominators are
+    inverted once across all pairs with Montgomery's trick. Bit-identical
+    to the untwisted-E(Fq12) oracle (_multi_miller_loop_untwisted), which
+    the test suite pins."""
+    live = [(p, q) for (p, q) in pairs if not (p.is_identity() or q.is_identity())]
+    if not live:
+        return Fq12.one()
+    xi_inv = _xi_inv()
+    Ps = [(p.x.n, p.y.n) for (p, _) in live]
+    Qs = [(q.x, q.y) for (_, q) in live]
+    Ts = list(Qs)
+    f = Fq12.one()
+    bits = bin(BLS_X)[3:]  # skip the leading 1
+    for bit in bits:
+        f = f.square()
+        # tangent lines: λ' = 3x² / 2y, one batched inversion for all pairs
+        invs = _batch_inv_fq2([Fq2(2 * ty.c0, 2 * ty.c1) for (_, ty) in Ts])
+        for i, (tx, ty) in enumerate(Ts):
+            x2 = tx.square()
+            lam = (x2 + x2 + x2) * invs[i]
+            px, py = Ps[i]
+            f = _mul_by_line(
+                f, Fq2(py, 0), (lam * tx - ty) * xi_inv,
+                (-lam).mul_scalar(px) * xi_inv,
+            )
+            x3 = lam.square() - tx - tx
+            Ts[i] = (x3, lam * (tx - x3) - ty)
+        if bit == "1":
+            # chord lines through T and Q: λ' = (y_Q − y_T)/(x_Q − x_T)
+            invs = _batch_inv_fq2([Qs[i][0] - Ts[i][0] for i in range(len(Ts))])
+            for i, (tx, ty) in enumerate(Ts):
+                qx, qy = Qs[i]
+                lam = (qy - ty) * invs[i]
+                px, py = Ps[i]
+                f = _mul_by_line(
+                    f, Fq2(py, 0), (lam * tx - ty) * xi_inv,
+                    (-lam).mul_scalar(px) * xi_inv,
+                )
+                x3 = lam.square() - tx - qx
+                Ts[i] = (x3, lam * (tx - x3) - ty)
     if BLS_X_IS_NEGATIVE:
         f = f.conjugate()
     return f

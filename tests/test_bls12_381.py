@@ -110,3 +110,20 @@ def test_fq12_complex_squaring():
     f = multi_miller_loop([(G1.generator() * 31337, G2.generator() * 271828)])
     assert f.square() == f * f
     assert Fq12.one().square() == Fq12.one()
+
+
+def test_multi_miller_fast_matches_untwisted_oracle():
+    """The twisted-coordinate sparse-line Miller loop is bit-identical to
+    the untwisted E(Fq12) oracle, including mixed identity pairs."""
+    from masp_tpu.curves.bls12_381 import (
+        _multi_miller_loop_untwisted, multi_miller_loop,
+    )
+    g1, g2 = G1.generator(), G2.generator()
+    pairs = [
+        (g1 * 0xDEADBEEF, g2 * 0xCAFEBABE),
+        (-(g1 * 77), g2 * 91),
+        (G1.identity(), g2 * 5),
+        (g1 * 3, G2.identity()),
+    ]
+    assert multi_miller_loop(pairs) == _multi_miller_loop_untwisted(pairs)
+    assert multi_miller_loop([(G1.identity(), g2)]).is_one()
