@@ -127,3 +127,12 @@ def test_multi_miller_fast_matches_untwisted_oracle():
     ]
     assert multi_miller_loop(pairs) == _multi_miller_loop_untwisted(pairs)
     assert multi_miller_loop([(G1.identity(), g2)]).is_one()
+
+
+def test_jacobian_scalar_mul_matches_affine():
+    """Jacobian-ladder mul_int is point-identical to the affine oracle,
+    including 0, negatives, and scalars around the group order."""
+    g1, g2 = G1.generator(), G2.generator()
+    for pt in (g1, g2):
+        for k in (0, 1, 2, 3, R - 1, R, R + 1, -5, 0xDEADBEEFCAFEBABE1234567890ABCDEF):
+            assert pt.mul_int(k) == pt._mul_int_affine(k)
