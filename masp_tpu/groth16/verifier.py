@@ -46,18 +46,24 @@ def verify_proofs_batch(
             return False
     zs = [int.from_bytes(rng.fill_bytes(16), "little") for _ in proofs]
 
+    # Fold the random coefficients into the IC scalars first:
+    #   sum_i z_i (IC_0 + sum_j inp_ij IC_j)
+    #     = (sum_i z_i) IC_0 + sum_j (sum_i z_i inp_ij) IC_j
+    # — the identical group element with len(ic) scalar muls instead of
+    # B * len(ic) (scalar arithmetic is mod R = the group order).
     sum_z = 0
-    acc_gamma = G1.identity()
+    ic_scalars = [0] * (len(pvk.ic) - 1)
     acc_delta = G1.identity()
     pairs = []
     for proof, inputs, z in zip(proofs, public_inputs, zs):
         sum_z = (sum_z + z) % R
-        acc = pvk.ic[0]
-        for inp, point in zip(inputs, pvk.ic[1:]):
-            acc = acc + point * (inp % R)
-        acc_gamma = acc_gamma + acc * z
+        for j, inp in enumerate(inputs):
+            ic_scalars[j] = (ic_scalars[j] + z * inp) % R
         acc_delta = acc_delta + proof.c * z
         pairs.append((proof.a * z, proof.b))
+    acc_gamma = pvk.ic[0] * sum_z
+    for s, point in zip(ic_scalars, pvk.ic[1:]):
+        acc_gamma = acc_gamma + point * s
 
     pairs.append((acc_gamma, pvk.neg_gamma_g2))
     pairs.append((acc_delta, pvk.neg_delta_g2))
