@@ -378,91 +378,42 @@ class _CurvePoint:
 
     def mul_int(self, k: int):
         """Scalar multiplication in Jacobian coordinates (a = 0 curves):
-        no per-op field inversion, one inversion at the end. ~10x faster
-        than the affine ladder for 128-255 bit scalars; output checked
-        against _mul_int_affine in tests."""
-        if k < 0:
-            return (-self).mul_int(-k)
-        if k == 0 or self.inf:
-            return type(self).identity()
-        x2, y2 = self.x, self.y  # affine base point
+        no per-op field inversion, one inversion at the end. Output
+        checked against _mul_int_affine in tests."""
+        return type(self).multi_scalar_mul([self], [k])
+
+    @classmethod
+    def multi_scalar_mul(cls, points, scalars):
+        """sum_i k_i P_i with ONE shared Jacobian doubling chain across
+        all terms and one final inversion — the host verifier's small-n
+        multi-exp (the big MSMs live on-device, ops/msm_sorted.py)."""
+        bases = []
+        for p, k in zip(points, scalars):
+            if k < 0:
+                p, k = -p, -k
+            if k == 0 or p.inf:
+                continue
+            bases.append((p.x, p.y, k))
+        if not bases:
+            return cls.identity()
+        nbits = max(k.bit_length() for (_, _, k) in bases)
         X = Y = Z = None  # Jacobian accumulator; None = identity
-        for c in bin(k)[2:]:
+        for i in range(nbits - 1, -1, -1):
             if X is not None:
-                if Y.is_zero():
-                    X = None
-                else:
-                    # dbl-2009-l (EFD), a = 0
-                    A = X * X
-                    B = Y * Y
-                    C = B * B
-                    t = X + B
-                    D = t * t - A - C
-                    D = D + D
-                    E = A + A + A
-                    F = E * E
-                    X3 = F - D - D
-                    C8 = C + C
-                    C8 = C8 + C8
-                    C8 = C8 + C8
-                    Y3 = E * (D - X3) - C8
-                    Z3 = (Y + Y) * Z
-                    X, Y, Z = X3, Y3, Z3
-            if c == "1":
-                if X is None:
-                    X, Y, Z = x2, y2, self._one_elt()
-                else:
-                    # mixed addition: affine (x2, y2) + Jacobian (X, Y, Z)
-                    Z1Z1 = Z * Z
-                    U2 = x2 * Z1Z1
-                    S2 = y2 * Z * Z1Z1
-                    H = U2 - X
-                    r = S2 - Y
-                    if H.is_zero():
-                        if r.is_zero():
-                            # doubling of the accumulator
-                            if Y.is_zero():
-                                X = None
-                            else:
-                                A = X * X
-                                B = Y * Y
-                                C = B * B
-                                t = X + B
-                                D = t * t - A - C
-                                D = D + D
-                                E = A + A + A
-                                F = E * E
-                                X3 = F - D - D
-                                C8 = C + C
-                                C8 = C8 + C8
-                                C8 = C8 + C8
-                                Y3 = E * (D - X3) - C8
-                                Z3 = (Y + Y) * Z
-                                X, Y, Z = X3, Y3, Z3
-                        else:
-                            X = None
+                acc = _jac_double(X, Y, Z)
+                X, Y, Z = acc if acc is not None else (None, None, None)
+            for (x2, y2, k) in bases:
+                if (k >> i) & 1:
+                    if X is None:
+                        X, Y, Z = x2, y2, _field_one_like(x2)
                     else:
-                        HH = H * H
-                        HHH = H * HH
-                        V = X * HH
-                        X3 = r * r - HHH - V - V
-                        Y3 = r * (V - X3) - Y * HHH
-                        Z3 = Z * H
-                        X, Y, Z = X3, Y3, Z3
+                        acc = _jac_madd(X, Y, Z, x2, y2)
+                        X, Y, Z = acc if acc is not None else (None, None, None)
         if X is None:
-            return type(self).identity()
+            return cls.identity()
         zi = Z.invert()
         zi2 = zi * zi
-        return type(self)(X * zi2, Y * zi2 * zi, False)
-
-    def _one_elt(self):
-        """Multiplicative one of the coordinate field (for Z = 1)."""
-        x = self.x
-        if isinstance(x, _FqElt):
-            return _FqElt(1)
-        if isinstance(x, Fq2):
-            return Fq2(1, 0)
-        return Fq12.one()
+        return cls(X * zi2, Y * zi2 * zi, False)
 
     def __mul__(self, k: int):
         return self.mul_int(k)
@@ -510,6 +461,59 @@ class _FqElt:
 
     def __hash__(self):
         return hash(self.n)
+
+
+def _field_one_like(x):
+    """Multiplicative one of x's coordinate field (for Jacobian Z = 1)."""
+    if isinstance(x, _FqElt):
+        return _FqElt(1)
+    if isinstance(x, Fq2):
+        return Fq2(1, 0)
+    return Fq12.one()
+
+
+def _jac_double(XYZ_x, XYZ_y, XYZ_z):
+    """Jacobian doubling on y² = x³ + b (a = 0): EFD dbl-2009-l.
+    Returns None for the identity (y = 0, i.e. 2-torsion)."""
+    X, Y, Z = XYZ_x, XYZ_y, XYZ_z
+    if Y.is_zero():
+        return None
+    A = X * X
+    B = Y * Y
+    C = B * B
+    t = X + B
+    D = t * t - A - C
+    D = D + D
+    E = A + A + A
+    F = E * E
+    X3 = F - D - D
+    C8 = C + C
+    C8 = C8 + C8
+    C8 = C8 + C8
+    Y3 = E * (D - X3) - C8
+    Z3 = (Y + Y) * Z
+    return X3, Y3, Z3
+
+
+def _jac_madd(X, Y, Z, x2, y2):
+    """Mixed addition: Jacobian (X, Y, Z) + affine (x2, y2).
+    Returns None for the identity result (P + (-P))."""
+    Z1Z1 = Z * Z
+    U2 = x2 * Z1Z1
+    S2 = y2 * Z * Z1Z1
+    H = U2 - X
+    r = S2 - Y
+    if H.is_zero():
+        if r.is_zero():
+            return _jac_double(X, Y, Z)
+        return None
+    HH = H * H
+    HHH = H * HH
+    V = X * HH
+    X3 = r * r - HHH - V - V
+    Y3 = r * (V - X3) - Y * HHH
+    Z3 = Z * H
+    return X3, Y3, Z3
 
 
 class G1(_CurvePoint):

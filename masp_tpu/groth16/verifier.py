@@ -16,9 +16,9 @@ from masp_tpu.groth16.structures import PreparedVerifyingKey, Proof
 def verify_proof(pvk: PreparedVerifyingKey, proof: Proof, public_inputs: list[int]) -> bool:
     if len(public_inputs) + 1 != len(pvk.ic):
         return False
-    acc = pvk.ic[0]
-    for inp, point in zip(public_inputs, pvk.ic[1:]):
-        acc = acc + point * (inp % R)
+    acc = G1.multi_scalar_mul(
+        list(pvk.ic), [1] + [inp % R for inp in public_inputs]
+    )
     ml = multi_miller_loop(
         [
             (proof.a, proof.b),
@@ -61,9 +61,7 @@ def verify_proofs_batch(
             ic_scalars[j] = (ic_scalars[j] + z * inp) % R
         acc_delta = acc_delta + proof.c * z
         pairs.append((proof.a * z, proof.b))
-    acc_gamma = pvk.ic[0] * sum_z
-    for s, point in zip(ic_scalars, pvk.ic[1:]):
-        acc_gamma = acc_gamma + point * s
+    acc_gamma = G1.multi_scalar_mul(list(pvk.ic), [sum_z] + ic_scalars)
 
     pairs.append((acc_gamma, pvk.neg_gamma_g2))
     pairs.append((acc_delta, pvk.neg_delta_g2))

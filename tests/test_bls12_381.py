@@ -136,3 +136,17 @@ def test_jacobian_scalar_mul_matches_affine():
     for pt in (g1, g2):
         for k in (0, 1, 2, 3, R - 1, R, R + 1, -5, 0xDEADBEEFCAFEBABE1234567890ABCDEF):
             assert pt.mul_int(k) == pt._mul_int_affine(k)
+
+
+def test_multi_scalar_mul_matches_naive_sum():
+    """Shared-doubling multi-exp equals the naive sum of scalar muls,
+    with zero/negative scalars and identity points mixed in."""
+    g1 = G1.generator()
+    pts = [g1 * 3, g1 * 1717, G1.identity(), g1 * 99, -(g1 * 2)]
+    ks = [0xDEAD, -12345, 7, 0, R + 2]
+    ref = G1.identity()
+    for p, k in zip(pts, ks):
+        ref = ref + p._mul_int_affine(k)
+    assert G1.multi_scalar_mul(pts, ks) == ref
+    assert G1.multi_scalar_mul([], []).is_identity()
+    assert G1.multi_scalar_mul([g1], [0]).is_identity()
