@@ -18,7 +18,7 @@ Fields provided: FR (BLS12-381 scalar, L=16) and FQ (BLS12-381 base, L=24).
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,13 @@ class FieldSpec:
         self.inv_exp_bits = np.array(
             [(e >> i) & 1 for i in range(e.bit_length() - 1, -1, -1)],
             dtype=np.uint32,
+        )
+        # base-16 digits (MSB first) of N-2, for the 4-bit-window Fermat
+        # chain in mont_inv_small
+        nnib = -(-e.bit_length() // 4)
+        self.inv_exp_nibbles = np.array(
+            [(e >> (4 * i)) & 0xF for i in range(nnib - 1, -1, -1)],
+            dtype=np.int32,
         )
 
 
@@ -200,6 +207,54 @@ def mont_pow_fixed(spec: FieldSpec, a, exp_bits):
 def mont_inv(spec: FieldSpec, a):
     """Fermat inversion a^{N-2} (Montgomery in, Montgomery out)."""
     return mont_pow_fixed(spec, a, jnp.asarray(spec.inv_exp_bits))
+
+
+def _mont_mul_unrolled(spec: FieldSpec, a, b):
+    """The fully-unrolled CIOS multiplier, independent of the active impl.
+    At tiny batch widths (the batch-affine MSM ladder's width-1 product-
+    tree roots) the pallas kernel pays a call per mul (~7 us/step) and the
+    compact scans pay per-iteration overhead; the unrolled graph fuses."""
+    L = spec.L
+    n0inv = jnp.uint32(spec.n0inv)
+    N = spec.N_jax
+    t = _wide_product_cols(L, a, b)
+    for _ in range(L):
+        m = (t[..., 0] * n0inv) & LIMB_MASK
+        mn = m[..., None] * N
+        mlo = mn & LIMB_MASK
+        mhi = mn >> LIMB_BITS
+        t = t.at[..., :L].add(mlo)
+        t = t.at[..., 1 : L + 1].add(mhi)
+        t = t.at[..., 1].add(t[..., 0] >> LIMB_BITS)
+        t = t[..., 1:]
+    return _carry_reduce(spec, t[..., :L])
+
+
+def mont_inv_small(spec: FieldSpec, a):
+    """Fermat inversion tuned for TINY batch widths — the once-per-ladder-
+    level root inverse of the batch-affine MSM's product tree. Walks the
+    exponent in 4-bit fixed windows: ceil(bits/4) iterations of 4
+    squarings + 1 table mul instead of bits x (square, mul, select) steps
+    — ~475 dependent muls instead of ~762. Uses the active impl's
+    multiplier (the pallas kernel's per-call cost at width 1 is ~3 us;
+    the unrolled XLA graph measured ~30x worse per op). Bit-identical to
+    mont_inv."""
+    mul = partial(mont_mul, spec)
+    one = jnp.broadcast_to(jnp.asarray(spec.ONE_MONT, dtype=U32), a.shape)
+    pows = [one, a]
+    for _j in range(2, 16):
+        pows.append(mul(pows[-1], a))
+    table = jnp.stack(pows)  # (16, ..., L)
+    nibs = spec.inv_exp_nibbles
+
+    def body(acc, nib):
+        for _ in range(4):
+            acc = mul(acc, acc)
+        return mul(acc, jnp.take(table, nib, axis=0)), None
+
+    acc0 = jnp.take(table, jnp.asarray(nibs[0]), axis=0)
+    acc, _ = jax.lax.scan(body, acc0, jnp.asarray(nibs[1:]))
+    return acc
 
 
 def batch_mont_inv(spec: FieldSpec, a):
@@ -369,6 +424,7 @@ def _sub_compact(spec: FieldSpec, a, b):
 
 __all__ = [
     "FieldSpec", "FR", "FQ", "mont_mul", "mont_sqr", "add", "sub", "neg",
-    "select", "is_zero", "mont_pow_fixed", "mont_inv", "batch_mont_inv",
+    "select", "is_zero", "mont_pow_fixed", "mont_inv", "mont_inv_small",
+    "batch_mont_inv",
     "to_mont", "from_mont", "encode", "decode", "set_impl", "get_impl",
 ]

@@ -226,6 +226,11 @@ def window_buckets(fops, points_packed, digits, c: int, signed: bool = False):
     (windows_from_limbs(signed=True)): points with negative digits enter
     the prefix tree negated, and the bucket count drops to B = 2^(c-1)+1
     — halving the B*(log2 N + 2) bucket-query adds per window."""
+    if AFFINE_LADDER and not hasattr(fops, "add_points"):
+        # batch-affine flattened ladder (round 5): bit-identical buckets,
+        # ~7 muls/add on the first AFFINE_LEVELS levels
+        return window_buckets_flat(fops, points_packed, digits, c,
+                                   signed=signed)
     N = points_packed.shape[0]
     n_windows = digits.shape[1]
     B = (1 << (c - 1)) + 1 if signed else 1 << c
@@ -319,6 +324,236 @@ def sorted_msm_from_limbs(fops, points_packed, limbs16, c: int,
     Balanced signed digits by default."""
     digits = windows_from_limbs(limbs16, c, signed=signed)
     return sorted_msm(fops, points_packed, digits, c, signed=signed)
+
+
+# --- batch-affine ladder (round 5) -----------------------------------------
+#
+# The dyadic halving ladder is the MSM's hot phase (~70% of prove time,
+# VPU-ALU-bound at ~12 Fq mont_muls per complete projective add). Within a
+# ladder level every add is independent, so the adds can run in AFFINE form
+# with ONE exact batched inversion per level (product tree: 3 amortized muls
+# per lane + a single tiny-width Fermat root inverse): chord/tangent slope +
+# x3/y3 cost 7 muls per add instead of 12, with branch-free masked lanes for
+# the doubling / P+(-P) / identity cases. The affine form is used for the
+# first MASP_MSM_AFFINE_LEVELS levels (level l has N/2^l of the adds, so the
+# savings halve per level while the per-level Fermat inverse is constant);
+# deeper levels fall back to the complete projective formula.
+#
+# Requires the window axis to be FLATTENED into the lane axis (one Fermat
+# per level total, not per window x level) — window_buckets_flat below.
+# Precondition (same as the round-4 leaf-specialized add): input rows are
+# encoded affine points or identity pads, i.e. Z in {0, mont-1}.
+#
+# MEASURED NEGATIVE as written (v5e, 2^17 c=8 buckets: 1206 ms flat-affine
+# vs ~134 ms scan-projective): composing the formula from ~25 standalone
+# pallas calls pays a (B, L) <-> (L, B/128, 128) layout conversion around
+# every mul/add/select (~4-5 ms per transpose pair at 2^20x24), while the
+# round-4 path runs each complete add as ONE fused kernel whose inter-level
+# transposes cancel. The win requires keeping the whole affine segment in
+# kernel layout (fused pre/tree/post kernels) — see kernels/field_kernels.
+# Default OFF until that lands; the exactness tests pin the semantics.
+#
+# Reference hot path: bellperson Pippenger multiexp (SURVEY.md §2.4 L5,
+# §3.1 HOTTEST).
+AFFINE_LADDER = os.environ.get("MASP_MSM_AFFINE", "0") == "1"
+AFFINE_LEVELS = int(os.environ.get("MASP_MSM_AFFINE_LEVELS", "6"))
+
+
+def _coord_eq(fops, a, b):
+    axes = tuple(range(-len(fops.coord_shape), 0))
+    return jnp.all(a == b, axis=axes)
+
+
+def _coord_sel(fops, cond, a, b):
+    c = cond.reshape(cond.shape + (1,) * len(fops.coord_shape))
+    return jnp.where(c != 0, a, b)
+
+
+def _coord_neg(fops, y):
+    # per-coefficient mod-q negation covers both Fq (..., L) and
+    # Fq2 (..., 2, L) layouts: F.neg treats leading axes as batch
+    from masp_tpu.ops import field_jax as F
+    from masp_tpu.ops.field_jax import FQ
+
+    return F.neg(FQ, y)
+
+
+def _root_inv(fops, r):
+    """Inverse of the (1, ...) product-tree root via the tiny-width Fermat
+    chain (Fq2 reduces to one Fq inversion through the norm)."""
+    from masp_tpu.ops import field_jax as F
+    from masp_tpu.ops.field_jax import FQ
+
+    if len(fops.coord_shape) == 1:
+        return F.mont_inv_small(FQ, r)
+    r0, r1 = r[..., 0, :], r[..., 1, :]
+    norm = F.add(FQ, F.mont_mul(FQ, r0, r0), F.mont_mul(FQ, r1, r1))
+    ni = F.mont_inv_small(FQ, norm)
+    c0 = F.mont_mul(FQ, r0, ni)
+    c1 = F.neg(FQ, F.mont_mul(FQ, r1, ni))
+    return jnp.stack([c0, c1], axis=-2)
+
+
+def _tree_batch_inv(fops, d):
+    """Exact batched inversion of (w, ...) nonzero field elements: product
+    tree up-sweep (w-1 muls, log depth), one tiny-width Fermat on the root,
+    seeded down-sweep (2(w-1) muls, log depth). ~3 muls per lane."""
+    w = d.shape[0]
+    assert w & (w - 1) == 0, "pad lanes to a power of two"
+    prods = [d]
+    while prods[-1].shape[0] > 1:
+        p = prods[-1]
+        prods.append(fops.mul(p[0::2], p[1::2]))
+    inv = _root_inv(fops, prods[-1])
+    for p in reversed(prods[:-1]):
+        ie = fops.mul(inv, p[1::2])
+        io = fops.mul(inv, p[0::2])
+        inv = jnp.stack([ie, io], axis=1).reshape(p.shape)
+    return inv
+
+
+def _affine_level(fops, p1, p2):
+    """One ladder level of batch-affine additions. p* = (x, y, inf) with
+    inf != 0 marking the identity; finite coords are canonical affine.
+    Branch-free complete handling: chord add, tangent doubling (x1 == x2,
+    y1 == y2), P + (-P) -> identity, identity pass-throughs. Exactly one
+    batched inversion (one tiny Fermat) per call; 7 muls per lane.
+    Identity lanes are normalized to (0, mont-1) so a later projective
+    lift (Z = inf ? 0 : 1) yields the canonical (0 : 1 : 0)."""
+    x1, y1, f1 = p1
+    x2, y2, f2 = p2
+    mul, add_, sub_ = fops.mul, fops.add, fops.sub
+    one = fops.one_like(x1)
+    i1 = f1 != 0
+    i2 = f2 != 0
+    fin = jnp.logical_and(~i1, ~i2)
+    xeq = _coord_eq(fops, x1, x2)
+    yneg = _coord_eq(fops, y1, _coord_neg(fops, y2))
+    res_inf = jnp.logical_and(fin, jnp.logical_and(xeq, yneg))
+    use_dbl = jnp.logical_and(fin, jnp.logical_and(xeq, ~yneg))
+    sq1 = mul(x1, x1)
+    n_eff = _coord_sel(
+        fops, use_dbl, add_(add_(sq1, sq1), sq1), sub_(y2, y1)
+    )
+    live = jnp.logical_and(fin, ~res_inf)
+    d_eff = _coord_sel(fops, use_dbl, add_(y1, y1), sub_(x2, x1))
+    d_eff = _coord_sel(fops, live, d_eff, one)
+    lam = mul(n_eff, _tree_batch_inv(fops, d_eff))
+    x3 = sub_(sub_(mul(lam, lam), x1), x2)
+    y3 = sub_(mul(lam, sub_(x1, x3)), y1)
+    xo = _coord_sel(fops, i1, x2, _coord_sel(fops, i2, x1, x3))
+    yo = _coord_sel(fops, i1, y2, _coord_sel(fops, i2, y1, y3))
+    fo = jnp.logical_or(jnp.logical_and(i1, i2), res_inf).astype(jnp.int32)
+    xo = _coord_sel(fops, fo, fops.zeros_like(xo), xo)
+    yo = _coord_sel(fops, fo, one, yo)
+    return xo, yo, fo
+
+
+def _split_pairs(arr):
+    half = arr.shape[0] // 2
+    r = arr.reshape((half, 2) + arr.shape[1:])
+    return r[:, 0], r[:, 1]
+
+
+def window_buckets_flat(fops, points_packed, digits, c: int,
+                        signed: bool = False, affine_levels: int | None = None):
+    """window_buckets with the window axis flattened into the lane axis and
+    a batch-affine lower ladder (see the design note above AFFINE_LADDER).
+
+    Per level this runs ONE batched affine add across all windows (so the
+    per-level product-tree root costs one Fermat total), stores the level's
+    nodes (affine for levels <= K, projective above), then answers all
+    windows' bucket-boundary prefix queries W*B-wide. Bit-identical to
+    window_buckets. Precondition: rows are encoded affine points or
+    identity pads (Z in {0, mont-1}) — the same precondition the round-4
+    leaf-specialized add established for parameter queries."""
+    N = points_packed.shape[0]
+    n_windows = digits.shape[1]
+    B = (1 << (c - 1)) + 1 if signed else 1 << c
+    levels = (N - 1).bit_length()
+    assert N == 1 << levels, "pad N to a power of two"
+    K = AFFINE_LEVELS if affine_levels is None else affine_levels
+    K = max(0, min(K, levels))
+    cshape = fops.coord_shape
+    k = int(np.prod(cshape))
+
+    if signed:
+        keys = jnp.abs(digits).T.astype(jnp.int32)
+        signs = (digits < 0).T.astype(jnp.int32)
+    else:
+        keys = digits.T.astype(jnp.int32)
+        signs = None
+    iota = jnp.arange(N, dtype=jnp.int32)
+    sorted_keys, perm = jax.vmap(lambda kk: jax.lax.sort_key_val(kk, iota))(keys)
+    kvals = jnp.arange(B, dtype=jnp.int32)
+    bounds = jax.vmap(lambda sk: jnp.searchsorted(sk, kvals, side="right"))(
+        sorted_keys
+    ).astype(jnp.int32)
+
+    like = _unpack(fops, points_packed)[0]
+
+    # affine source coords + infinity flags (Z in {0, mont-1} by contract)
+    xy_src = points_packed[:, : 2 * k]
+    z_src = points_packed[:, 2 * k :].reshape((N,) + cshape)
+    inf_src = fops.is_zero(z_src).astype(jnp.int32)
+
+    perm_flat = perm.reshape(n_windows * N)
+    rows = jnp.take(xy_src, perm_flat, axis=0)  # (W*N, 2k)
+    f = jnp.take(inf_src, perm_flat)
+    x = rows[:, :k].reshape((-1,) + cshape)
+    y = rows[:, k:].reshape((-1,) + cshape)
+    if signed:
+        sgs = jnp.take_along_axis(signs, perm, axis=1).reshape(n_windows * N)
+        y = _coord_sel(fops, sgs, _coord_neg(fops, y), y)
+
+    # up-sweep: affine levels 0..K, projective above. Pair halving of the
+    # flattened (W * N/2^l) lane axis never crosses a window boundary.
+    cur = (x, y, f)
+    aff_nodes = [cur]
+    for _l in range(K):
+        e = tuple(_split_pairs(cc)[0] for cc in cur)
+        o = tuple(_split_pairs(cc)[1] for cc in cur)
+        cur = _affine_level(fops, e, o)
+        aff_nodes.append(cur)
+    xK, yK, fK = cur
+    one = fops.one_like(xK)
+    curp = (xK, yK, _coord_sel(fops, fK, fops.zeros_like(xK), one))
+    proj_nodes = {K: curp}
+    for l in range(K, levels):
+        e = tuple(_split_pairs(cc)[0] for cc in curp)
+        o = tuple(_split_pairs(cc)[1] for cc in curp)
+        curp = W.g_add(fops, e, o)
+        proj_nodes[l + 1] = curp
+
+    # exclusive-prefix queries at the B bucket boundaries, all windows wide
+    acc = _traced_identity(fops, like, (n_windows, B))
+    warange = jnp.arange(n_windows, dtype=jnp.int32)[:, None]
+    for l in range(levels + 1):
+        n_l = N >> l
+        idx = 2 * (bounds >> (l + 1))
+        bit = (bounds >> l) & 1
+        gidx = (warange * n_l + jnp.minimum(idx, n_l - 1)).reshape(-1)
+        if l <= K:
+            nx, ny, nf = aff_nodes[l]
+            gx = jnp.take(nx, gidx, axis=0).reshape((n_windows, B) + cshape)
+            gy = jnp.take(ny, gidx, axis=0).reshape((n_windows, B) + cshape)
+            gf = jnp.take(nf, gidx).reshape(n_windows, B)
+            onep = fops.one_like(gx)
+            gath = (gx, gy, _coord_sel(fops, gf, fops.zeros_like(gx), onep))
+        else:
+            gath = tuple(
+                jnp.take(cc, gidx, axis=0).reshape((n_windows, B) + cshape)
+                for cc in proj_nodes[l]
+            )
+        added = W.g_add(fops, acc, gath)
+        acc = W.point_select(bit, added, acc)
+
+    ident_1 = _traced_identity(fops, like, (n_windows, 1))
+    qprev = tuple(
+        jnp.concatenate([i1, cc[:, :-1]], axis=1)
+        for i1, cc in zip(ident_1, acc)
+    )
+    return W.g_add(fops, acc, _g_neg(fops, qprev))
 
 
 def _pow2_groups(w: int) -> list[int]:
@@ -450,6 +685,7 @@ def sorted_msm_batch(fops, points_packed, digits, c: int, signed: bool = False):
 
 __all__ = [
     "sorted_msm", "sorted_msm_batch", "sorted_msm_from_limbs",
-    "window_buckets", "pack_points", "bucket_reduce_horner",
-    "windows_from_limbs", "n_windows_for", "masked_sum",
+    "window_buckets", "window_buckets_flat", "pack_points",
+    "bucket_reduce_horner", "windows_from_limbs", "n_windows_for",
+    "masked_sum",
 ]

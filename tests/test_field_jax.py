@@ -88,3 +88,19 @@ def test_batch_inv():
     got = F.decode(spec, jax.jit(lambda a: F.batch_mont_inv(spec, a))(a))
     for g, x in zip(got, xs):
         assert g == (pow(x, -1, spec.modulus) if x else 0)
+
+
+def test_mont_inv_small_matches_host():
+    """mont_inv_small (unrolled 4-bit-window Fermat for tiny widths — the
+    batch-affine ladder's per-level root inverse) vs host pow."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    for spec in (F.FQ, F.FR):
+        vals = [int.from_bytes(rng.bytes(48), "little") % spec.modulus
+                for _ in range(4)]
+        vals[0] = 1
+        arr = F.encode(spec, vals)
+        inv = F.decode(spec, np.asarray(F.mont_inv_small(spec, jnp.asarray(arr))))
+        for v, iv in zip(vals, inv):
+            assert (v * iv) % spec.modulus == 1

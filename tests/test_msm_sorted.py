@@ -202,3 +202,63 @@ def test_sorted_msm_g2():
     out = MS.sorted_msm(W.G2Ops, MS.pack_points(tuple(coords)), digits, 8)
     got = W.decode_g2_points(*(np.asarray(x)[None] for x in out))[0]
     assert got == _host_msm(points, scalars)
+
+
+def test_sorted_msm_legacy_scan_path():
+    """The pre-round-5 scan-over-windows path (MASP_MSM_AFFINE=0) must
+    stay bit-identical — it is the fallback for non-affine-encoded rows."""
+    rng = np.random.default_rng(31)
+    n = 32
+    g = G1.generator()
+    points = [g * int(rng.integers(1, 1 << 62)) for _ in range(n)]
+    scalars = _rand_scalars(rng, n)
+    coords = [np.asarray(x) for x in W.encode_g1_points(points)]
+    digits = M.scalars_to_digits(scalars, 4, 256)
+    packed = MS.pack_points(tuple(coords))
+    old = MS.AFFINE_LADDER
+    try:
+        MS.AFFINE_LADDER = False
+        out = MS.sorted_msm(W.G1Ops, packed, digits, 4)
+    finally:
+        MS.AFFINE_LADDER = old
+    got = W.decode_g1_points(*(np.asarray(x)[None] for x in out))[0]
+    assert got == _host_msm(points, scalars)
+
+
+@pytest.mark.parametrize("grp", ["g1", "g2"])
+def test_affine_ladder_adversarial(grp):
+    """Batch-affine ladder edge lanes: duplicated points meeting in the
+    tree (tangent/doubling), P and -P meeting (chord-infinity), identity
+    pads interleaved, zero scalars. Adjacency is forced by giving the
+    special pairs identical scalars (the sort is stable, so equal digits
+    keep index order and original neighbors stay neighbors)."""
+    rng = np.random.default_rng(37)
+    n = 32
+    if grp == "g1":
+        G, enc, dec, fops = G1, W.encode_g1_points, W.decode_g1_points, W.G1Ops
+    else:
+        G, enc, dec, fops = G2, W.encode_g2_points, W.decode_g2_points, W.G2Ops
+    g = G.generator()
+    points = [g * int(rng.integers(1, 1 << 62)) for _ in range(n)]
+    points[1] = points[0]            # doubling lanes at the leaf level
+    points[3] = -points[2]           # P + (-P) -> identity lanes
+    points[5] = G.identity()
+    points[6] = G.identity()         # identity + identity
+    points[8] = G.identity()         # identity + finite pass-through
+    scalars = _rand_scalars(rng, n)
+    scalars[1] = scalars[0]
+    scalars[3] = scalars[2]
+    scalars[6] = scalars[5]
+    scalars[10] = 0
+    coords = [np.asarray(x) for x in enc(points)]
+    digits = M.scalars_to_digits(scalars, 4, 256)
+    packed = MS.pack_points(tuple(coords))
+    old_lvl, old_on = MS.AFFINE_LEVELS, MS.AFFINE_LADDER
+    try:
+        MS.AFFINE_LADDER = True
+        MS.AFFINE_LEVELS = 16  # force every level affine (clamped to depth)
+        out = MS.sorted_msm(fops, packed, digits, 4)
+    finally:
+        MS.AFFINE_LEVELS, MS.AFFINE_LADDER = old_lvl, old_on
+    got = dec(*(np.asarray(x)[None] for x in out))[0]
+    assert got == _host_msm(points, scalars)
