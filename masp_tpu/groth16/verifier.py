@@ -8,7 +8,7 @@ e(C, delta), batched by random 128-bit linear combination.
 from __future__ import annotations
 
 from masp_tpu.curves.bls12_381 import (
-    G1, R, final_exponentiation, multi_miller_loop,
+    G1, R, DegeneratePairingInput, final_exponentiation, multi_miller_loop,
 )
 from masp_tpu.groth16.structures import PreparedVerifyingKey, Proof
 
@@ -19,13 +19,18 @@ def verify_proof(pvk: PreparedVerifyingKey, proof: Proof, public_inputs: list[in
     acc = G1.multi_scalar_mul(
         list(pvk.ic), [1] + [inp % R for inp in public_inputs]
     )
-    ml = multi_miller_loop(
-        [
-            (proof.a, proof.b),
-            (acc, pvk.neg_gamma_g2),
-            (proof.c, pvk.neg_delta_g2),
-        ]
-    )
+    try:
+        ml = multi_miller_loop(
+            [
+                (proof.a, proof.b),
+                (acc, pvk.neg_gamma_g2),
+                (proof.c, pvk.neg_delta_g2),
+            ]
+        )
+    except DegeneratePairingInput:
+        # out-of-subgroup proof point (Proof.read(check_subgroup=False)):
+        # verify false, never crash (reference blst cannot panic here)
+        return False
     return final_exponentiation(ml) == pvk.alpha_g1_beta_g2
 
 
@@ -71,7 +76,10 @@ def verify_proofs_batch(
 
         pairs.append(((-pvk.alpha_g1) * sum_z, pvk.beta_g2))
         return pairing_product_is_one_device(pairs)
-    ml = multi_miller_loop(pairs)
+    try:
+        ml = multi_miller_loop(pairs)
+    except DegeneratePairingInput:
+        return False
     return final_exponentiation(ml) == pvk.alpha_g1_beta_g2.pow(sum_z)
 
 

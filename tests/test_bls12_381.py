@@ -150,3 +150,44 @@ def test_multi_scalar_mul_matches_naive_sum():
     assert G1.multi_scalar_mul(pts, ks) == ref
     assert G1.multi_scalar_mul([], []).is_identity()
     assert G1.multi_scalar_mul([g1], [0]).is_identity()
+
+
+def test_degenerate_pairing_input_guard():
+    """ADVICE round 4: a vanishing Miller slope denominator (possible only
+    for out-of-subgroup inputs, e.g. Proof.read(check_subgroup=False))
+    must surface as DegeneratePairingInput and make verifiers return
+    False, never crash — the reference blst projective loop never
+    divides and cannot panic."""
+    import masp_tpu.groth16.verifier as V
+    from masp_tpu.curves.bls12_381 import (
+        DegeneratePairingInput, Fq2, _batch_inv_fq2,
+    )
+
+    with pytest.raises(DegeneratePairingInput):
+        _batch_inv_fq2([Fq2(1, 0), Fq2(0, 0), Fq2(3, 4)])
+
+    # verify_proof / verify_proofs_batch catch the error -> False
+    def boom(pairs):
+        raise DegeneratePairingInput("test")
+
+    class _PVK:
+        ic = [None, None]
+        neg_gamma_g2 = None
+        neg_delta_g2 = None
+        alpha_g1_beta_g2 = None
+        alpha_g1 = None
+
+    class _Proof:
+        a = G1.generator()
+        b = None
+        c = G1.generator()
+
+    orig = V.multi_miller_loop
+    orig_msm = G1.multi_scalar_mul
+    try:
+        V.multi_miller_loop = boom
+        G1.multi_scalar_mul = staticmethod(lambda pts, sc: G1.identity())
+        assert V.verify_proof(_PVK(), _Proof(), [1]) is False
+    finally:
+        V.multi_miller_loop = orig
+        G1.multi_scalar_mul = orig_msm
