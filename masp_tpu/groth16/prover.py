@@ -1197,15 +1197,25 @@ def create_proofs_from_assemblies(
     window = int(os.environ.get("MASP_BATCH_WINDOW", "2"))
 
     pending = []
-    fetched = []
+    proofs = []
+    vk = params.vk
 
     def drain_one():
+        # fetch + ASSEMBLE here, so the host point arithmetic of proof i
+        # overlaps device execution of proofs i+1..i+window instead of
+        # piling up into an all-host tail after the last fetch (round-4
+        # XProf showed the batch's idle concentrated at the boundaries)
         r, s, h_dev, l_dev, a_dev, b1_dev, b2_dev = pending.pop(0)
-        fetched.append((
-            r, s, _fetch_g1(h_dev), _fetch_query_g1(l_dev),
-            _fetch_query_g1(a_dev), _fetch_query_g1(b1_dev),
-            _fetch_query_g2(b2_dev),
-        ))
+        h_answer = _fetch_g1(h_dev)
+        l_answer = _fetch_query_g1(l_dev)
+        a_answer = _fetch_query_g1(a_dev)
+        b1_answer = _fetch_query_g1(b1_dev)
+        b2_answer = _fetch_query_g2(b2_dev)
+        g_a = vk.delta_g1 * r + vk.alpha_g1 + a_answer
+        g_b = vk.delta_g2 * s + vk.beta_g2 + b2_answer
+        g_c = vk.delta_g1 * (r * s % R) + vk.alpha_g1 * s + vk.beta_g1 * r
+        g_c = g_c + h_answer + l_answer + a_answer * s + b1_answer * r
+        proofs.append(Proof(a=g_a, b=g_b, c=g_c))
 
     for cs, (r, s) in zip(cs_iter, rs_list):
         assert 1 << (cs.num_constraints - 1).bit_length() == m
@@ -1247,15 +1257,6 @@ def create_proofs_from_assemblies(
 
     while pending:
         drain_one()
-
-    vk = params.vk
-    proofs = []
-    for r, s, h_answer, l_answer, a_answer, b1_answer, b2_answer in fetched:
-        g_a = vk.delta_g1 * r + vk.alpha_g1 + a_answer
-        g_b = vk.delta_g2 * s + vk.beta_g2 + b2_answer
-        g_c = vk.delta_g1 * (r * s % R) + vk.alpha_g1 * s + vk.beta_g1 * r
-        g_c = g_c + h_answer + l_answer + a_answer * s + b1_answer * r
-        proofs.append(Proof(a=g_a, b=g_b, c=g_c))
     return proofs
 
 

@@ -234,6 +234,104 @@ def rows_point_add01(mul, add, sub, b3_mul, mask_of, const_sel, p, q):
     return (X3, Y3, Z3)
 
 
+# --- batch-affine ladder kernels (round 5) ---------------------------------
+# The affine MSM ladder composes ~25 field ops per level; as standalone
+# pallas calls each would pay a (B, L) <-> (L, B/128, 128) layout transpose
+# (measured ~4-5 ms per pair at 2^20x24 — 8x the muls they wrap). These two
+# kernels fuse the elementwise halves of the level so arrays stay in kernel
+# layout end-to-end; the product-tree muls between them use the plain
+# mont_mul kernel on kernel-layout operands directly.
+
+
+def _rows_eq(a, b):
+    m = a[0] == b[0]
+    for x, y in zip(a[1:], b[1:]):
+        m = jnp.logical_and(m, x == y)
+    return m
+
+
+def _rows_sel(m, a, b):
+    return [jnp.where(m, x, y) for x, y in zip(a, b)]
+
+
+def _affine_pre_kernel(spec, x1r, y1r, x2r, y2r, f1r, f2r, n_o, d_o, c_o):
+    """Masks + slope numerator/denominator for one batch-affine level.
+    Inputs: coords (L, TB, 128) of P1, P2 (canonical affine; garbage on
+    infinity lanes) + infinity flags (TB, 128). Outputs n_eff, d_eff
+    (d masked to 1 on dead lanes so the product tree stays invertible)
+    and a per-lane case code (bit0 inf1, bit1 inf2, bit2 result-infinity).
+    """
+    from masp_tpu.ops.limbs import int_to_limbs
+
+    L = spec.L
+    x1 = _read_rows(x1r, L)
+    y1 = _read_rows(y1r, L)
+    x2 = _read_rows(x2r, L)
+    y2 = _read_rows(y2r, L)
+    i1 = f1r[...] != 0
+    i2 = f2r[...] != 0
+    one_limbs = [int(v) for v in int_to_limbs(spec.R_mod, L)]
+    one = [jnp.full_like(x1[0], jnp.uint32(v)) for v in one_limbs]
+    zero = [jnp.zeros_like(x1[0]) for _ in range(L)]
+
+    fin = jnp.logical_and(~i1, ~i2)
+    xeq = _rows_eq(x1, x2)
+    yneg = _rows_eq(y1, rows_sub(spec, zero, y2))
+    res_inf = jnp.logical_and(fin, jnp.logical_and(xeq, yneg))
+    use_dbl = jnp.logical_and(fin, jnp.logical_and(xeq, ~yneg))
+    live = jnp.logical_and(fin, ~res_inf)
+
+    sq1 = rows_mont_mul(spec, x1, x1)
+    n3 = rows_add(spec, rows_add(spec, sq1, sq1), sq1)
+    n_eff = _rows_sel(use_dbl, n3, rows_sub(spec, y2, y1))
+    d_eff = _rows_sel(use_dbl, rows_add(spec, y1, y1), rows_sub(spec, x2, x1))
+    d_eff = _rows_sel(live, d_eff, one)
+
+    _write_rows(n_o, n_eff)
+    _write_rows(d_o, d_eff)
+    c_o[...] = (
+        i1.astype(jnp.uint32)
+        | (i2.astype(jnp.uint32) << 1)
+        | (res_inf.astype(jnp.uint32) << 2)
+    )
+
+
+def _affine_post_kernel(spec, nr, ivr, x1r, y1r, x2r, y2r, cr, x3_o, y3_o, f3_o):
+    """lam = n * inv(d); chord/tangent x3, y3; pass-throughs and infinity
+    normalization (infinity lanes come out (0, mont-1) so a projective
+    lift Z = inf ? 0 : 1 yields the canonical (0 : 1 : 0))."""
+    from masp_tpu.ops.limbs import int_to_limbs
+
+    L = spec.L
+    n = _read_rows(nr, L)
+    iv = _read_rows(ivr, L)
+    x1 = _read_rows(x1r, L)
+    y1 = _read_rows(y1r, L)
+    x2 = _read_rows(x2r, L)
+    y2 = _read_rows(y2r, L)
+    code = cr[...]
+    i1 = (code & 1) != 0
+    i2 = (code & 2) != 0
+    res_inf = (code & 4) != 0
+    one_limbs = [int(v) for v in int_to_limbs(spec.R_mod, L)]
+    one = [jnp.full_like(n[0], jnp.uint32(v)) for v in one_limbs]
+    zero = [jnp.zeros_like(n[0]) for _ in range(L)]
+
+    lam = rows_mont_mul(spec, n, iv)
+    lam2 = rows_mont_mul(spec, lam, lam)
+    x3 = rows_sub(spec, rows_sub(spec, lam2, x1), x2)
+    y3 = rows_sub(spec, rows_mont_mul(spec, lam, rows_sub(spec, x1, x3)), y1)
+
+    xo = _rows_sel(i1, x2, _rows_sel(i2, x1, x3))
+    yo = _rows_sel(i1, y2, _rows_sel(i2, y1, y3))
+    fo = jnp.logical_or(jnp.logical_and(i1, i2), res_inf)
+    xo = _rows_sel(fo, zero, xo)
+    yo = _rows_sel(fo, one, yo)
+    _write_rows(x3_o, xo)
+    _write_rows(y3_o, yo)
+    f3_o[...] = fo.astype(jnp.uint32)
+
+
 # --- kernels ---------------------------------------------------------------
 
 TB = 8  # sublane-group batch per program (TB*128 elements)
@@ -423,6 +521,108 @@ def pallas_point_add01(fops_kind: str, p, q, coord_shape):
     enc = [to_kernel_layout(c, TB)[0] for c in (*p, *q)]
     ox, oy, oz = _g_add_callable(fops_kind + "_01", TB)(*enc)
     return tuple(from_kernel_layout(o, B, coord_shape) for o in (ox, oy, oz))
+
+
+def _flag_spec(tb):
+    return pl.BlockSpec((tb, LANE), lambda i: (i, 0))
+
+
+@lru_cache(maxsize=None)
+def _affine_pre_callable(tb: int):
+    spec = FQ
+    kern = partial(_affine_pre_kernel, spec)
+
+    def run(x1, y1, x2, y2, f1, f2):
+        B1 = x1.shape[1]
+        grid = (B1 // tb,)
+        cspec = _block_spec(spec.L, tb)
+        return pl.pallas_call(
+            kern,
+            out_shape=[
+                jax.ShapeDtypeStruct(x1.shape, jnp.uint32),
+                jax.ShapeDtypeStruct(x1.shape, jnp.uint32),
+                jax.ShapeDtypeStruct(f1.shape, jnp.uint32),
+            ],
+            grid=grid,
+            in_specs=[cspec] * 4 + [_flag_spec(tb)] * 2,
+            out_specs=[cspec, cspec, _flag_spec(tb)],
+            interpret=_interpret(),
+        )(x1, y1, x2, y2, f1, f2)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _affine_post_callable(tb: int):
+    spec = FQ
+    kern = partial(_affine_post_kernel, spec)
+
+    def run(n, iv, x1, y1, x2, y2, code):
+        B1 = x1.shape[1]
+        grid = (B1 // tb,)
+        cspec = _block_spec(spec.L, tb)
+        return pl.pallas_call(
+            kern,
+            out_shape=[
+                jax.ShapeDtypeStruct(x1.shape, jnp.uint32),
+                jax.ShapeDtypeStruct(x1.shape, jnp.uint32),
+                jax.ShapeDtypeStruct(code.shape, jnp.uint32),
+            ],
+            grid=grid,
+            in_specs=[cspec] * 6 + [_flag_spec(tb)],
+            out_specs=[cspec, cspec, _flag_spec(tb)],
+            interpret=_interpret(),
+        )(n, iv, x1, y1, x2, y2, code)
+
+    return jax.jit(run)
+
+
+def klay_mont_mul(spec: FieldSpec, a, b):
+    """mont_mul on kernel-layout (L, B1, 128) operands — no layout
+    conversion (the caller keeps arrays in kernel layout)."""
+    return _mont_mul_callable(spec.name, TB)(a, b)
+
+
+def klay_affine_level(x1, y1, f1, x2, y2, f2):
+    """One batch-affine ladder level entirely in kernel layout (Fq/G1):
+    pre-kernel (masks + slope operands), product-tree batched inversion
+    (fold halving on the B1 axis + a tiny batch-major tail + one windowed
+    Fermat), post-kernel (lam, x3, y3, case selects). coords (24, B1, 128);
+    flags (B1, 128) uint32."""
+    import jax.numpy as jnp  # noqa: F811 (kernel-module-level alias)
+
+    from masp_tpu.ops import field_jax as F
+
+    n_eff, d_eff, code = _affine_pre_callable(TB)(x1, y1, x2, y2, f1, f2)
+
+    # product tree: fold halves on the batch-group axis while wide, finish
+    # the narrow tail batch-major (tiny arrays; pallas per-call cost is us
+    # inside one program), Fermat once on the root
+    prods = [d_eff]
+    while prods[-1].shape[1] > TB:
+        p = prods[-1]
+        h = p.shape[1] // 2
+        prods.append(klay_mont_mul(FQ, p[:, :h], p[:, h:]))
+    tail = from_kernel_layout(prods[-1], TB * LANE, (FQ.L,))
+    tprods = [tail]
+    while tprods[-1].shape[0] > 1:
+        p = tprods[-1]
+        h = p.shape[0] // 2
+        tprods.append(F.mont_mul(FQ, p[:h], p[h:]))
+    inv_t = F.mont_inv_small(FQ, tprods[-1])
+    for p in reversed(tprods[:-1]):
+        h = p.shape[0] // 2
+        ie = F.mont_mul(FQ, inv_t, p[h:])
+        io = F.mont_mul(FQ, inv_t, p[:h])
+        inv_t = jnp.concatenate([ie, io], axis=0)
+    inv = to_kernel_layout(inv_t, TB)[0]
+    for p in reversed(prods[:-1]):
+        h = p.shape[1] // 2
+        ie = klay_mont_mul(FQ, inv, p[:, h:])
+        io = klay_mont_mul(FQ, inv, p[:, :h])
+        inv = jnp.concatenate([ie, io], axis=1)
+
+    return _affine_post_callable(TB)(n_eff, inv, x1, y1, x2, y2, code)
 
 
 @lru_cache(maxsize=None)

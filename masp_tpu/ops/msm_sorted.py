@@ -30,6 +30,7 @@ masp_proofs -> bellperson multiexp, SURVEY.md §2.4/§3.1 HOT list).
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -139,7 +140,7 @@ def _g_neg(fops, p):
 WIDE_REDUCE = os.environ.get("MASP_MSM_WIDE_REDUCE", "0") == "1"
 
 
-def bucket_reduce_horner(fops, buckets, c: int, like):
+def bucket_reduce_horner(fops, buckets, c: int, like, wide: bool | None = None):
     """(W, B, ...) bucket sums -> single projective point (no batch axis).
 
     window[w] = sum_k k * bucket[w, k] via the running-suffix trick, then
@@ -150,8 +151,12 @@ def bucket_reduce_horner(fops, buckets, c: int, like):
 
     # the fori path's B-1 sequential width-W steps lose badly once B is
     # large and W small (the BGMW merged window: W=1, B=4096 -> 8190
-    # width-1 steps); the suffix scan's log2(B) wide steps win there
-    if WIDE_REDUCE or B >= 1024:
+    # width-1 steps); the suffix scan's log2(B) wide steps win there.
+    # Callers can force `wide` — the flat-affine path measured the wide
+    # form ~5 ms faster at (32, 256) on v5e (round 5).
+    if wide is None:
+        wide = WIDE_REDUCE or B >= 1024
+    if wide:
         # suffix scan along the bucket axis, then sum_{j>=1} S[w, j]
         cur = (bx, by, bz)
         ident_wb = _traced_identity(fops, like, (n_windows, B))
@@ -226,7 +231,7 @@ def window_buckets(fops, points_packed, digits, c: int, signed: bool = False):
     (windows_from_limbs(signed=True)): points with negative digits enter
     the prefix tree negated, and the bucket count drops to B = 2^(c-1)+1
     — halving the B*(log2 N + 2) bucket-query adds per window."""
-    if AFFINE_LADDER and not hasattr(fops, "add_points"):
+    if _affine_on(fops):
         # batch-affine flattened ladder (round 5): bit-identical buckets,
         # ~7 muls/add on the first AFFINE_LEVELS levels
         return window_buckets_flat(fops, points_packed, digits, c,
@@ -313,7 +318,8 @@ def sorted_msm(fops, points_packed, digits, c: int, signed: bool = False):
     """
     buckets = window_buckets(fops, points_packed, digits, c, signed=signed)
     like = _unpack(fops, points_packed)[0]
-    return bucket_reduce_horner(fops, buckets, c, like)
+    wide = True if _affine_on(fops) else None
+    return bucket_reduce_horner(fops, buckets, c, like, wide=wide)
 
 
 def sorted_msm_from_limbs(fops, points_packed, limbs16, c: int,
@@ -344,19 +350,33 @@ def sorted_msm_from_limbs(fops, points_packed, limbs16, c: int,
 # Precondition (same as the round-4 leaf-specialized add): input rows are
 # encoded affine points or identity pads, i.e. Z in {0, mont-1}.
 #
-# MEASURED NEGATIVE as written (v5e, 2^17 c=8 buckets: 1206 ms flat-affine
-# vs ~134 ms scan-projective): composing the formula from ~25 standalone
-# pallas calls pays a (B, L) <-> (L, B/128, 128) layout conversion around
-# every mul/add/select (~4-5 ms per transpose pair at 2^20x24), while the
-# round-4 path runs each complete add as ONE fused kernel whose inter-level
-# transposes cancel. The win requires keeping the whole affine segment in
-# kernel layout (fused pre/tree/post kernels) — see kernels/field_kernels.
-# Default OFF until that lands; the exactness tests pin the semantics.
+# Measured on v5e (2^17 c=8 G1 sorted_msm): 139 ms flat-affine (K=4, fused
+# kernel-layout level kernels + packed flag gather + partial-bit-reversal
+# transpose + wide reduce) vs 152 ms scan-projective — the production
+# default on the pallas impl ("auto"). Two measured dead ends recorded on
+# the way: (a) composing the affine formula from standalone pallas calls
+# costs a (B, L) <-> (L, B/128, 128) layout transpose around every op
+# (1206 ms); (b) a separate flag/full-bit-reversal GATHER costs ~28-85 ms
+# (gathers pay per row). On the compact impl (CPU tests) the flat graph
+# compiles several minutes slower, so "auto" keeps the legacy scan there;
+# the adversarial/interpret tests force the flat path explicitly.
 #
 # Reference hot path: bellperson Pippenger multiexp (SURVEY.md §2.4 L5,
 # §3.1 HOTTEST).
-AFFINE_LADDER = os.environ.get("MASP_MSM_AFFINE", "0") == "1"
-AFFINE_LEVELS = int(os.environ.get("MASP_MSM_AFFINE_LEVELS", "6"))
+AFFINE_LADDER = os.environ.get("MASP_MSM_AFFINE", "auto")
+if AFFINE_LADDER in ("0", "1"):
+    AFFINE_LADDER = AFFINE_LADDER == "1"
+AFFINE_LEVELS = int(os.environ.get("MASP_MSM_AFFINE_LEVELS", "4"))
+
+
+def _affine_on(fops) -> bool:
+    if hasattr(fops, "add_points"):  # Edwards curves bring their own adds
+        return False
+    if AFFINE_LADDER == "auto":
+        from masp_tpu.ops import field_jax as F
+
+        return F.get_impl() == "pallas"
+    return bool(AFFINE_LADDER)
 
 
 def _coord_eq(fops, a, b):
@@ -449,10 +469,64 @@ def _affine_level(fops, p1, p2):
     return xo, yo, fo
 
 
-def _split_pairs(arr):
+def _fold_halves(arr, n_windows: int):
+    """Per-window fold split: arr (W*n_l, ...) -> two (W*n_l/2, ...) halves
+    pairing position p with p + n_l/2 inside each window. Under the partial
+    bit-reversed storage (see _sigma below) this pairs sorted elements
+    (2j, 2j+1) for the affine levels — and in kernel layout it is a
+    contiguous slice, not a stride-2 shuffle."""
+    nl = arr.shape[0] // n_windows
+    r = arr.reshape((n_windows, nl) + arr.shape[1:])
+    h = nl // 2
+    e = r[:, :h].reshape((n_windows * h,) + arr.shape[1:])
+    o = r[:, h:].reshape((n_windows * h,) + arr.shape[1:])
+    return e, o
+
+
+def _adj_pairs(arr):
+    """Adjacent pairing (2i, 2i+1) — the ladder levels ABOVE the affine
+    segment, where storage is back in natural sorted order."""
     half = arr.shape[0] // 2
     r = arr.reshape((half, 2) + arr.shape[1:])
     return r[:, 0], r[:, 1]
+
+
+def _sigma(arr2d, levels: int, kbits: int):
+    """Partial bit-reversal of the position axis of (W, N) arrays, as a
+    multi-axis transpose (no gather): element e = (hi << kb) | lo moves to
+    position (rev_kb(lo) << (levels - kb)) | hi. The first kbits ladder
+    levels then pair (2j, 2j+1) as CONTIGUOUS half-folds (kernel-layout
+    friendly), and levels >= kbits are back in natural order (adjacent
+    pairing, identity query indexing). A 16 MB i32 gather for the full
+    reversal measured ~20-25 ms on v5e; this transpose is ~free."""
+    if kbits == 0:
+        return arr2d
+    w = arr2d.shape[0]
+    n = arr2d.shape[1]
+    r = arr2d.reshape((w, n >> kbits) + (2,) * kbits)
+    # output axis order: (w, lo bit0, lo bit1, ..., lo bit kb-1, hi)
+    perm_axes = (0,) + tuple(range(kbits + 1, 1, -1)) + (1,)
+    return jnp.transpose(r, perm_axes).reshape(w, n)
+
+
+def _bitrev_dyn(x, nbits: int):
+    """Bit-reverse traced int32 values over nbits."""
+    out = jnp.zeros_like(x)
+    for i in range(nbits):
+        out = out | (((x >> i) & 1) << (nbits - 1 - i))
+    return out
+
+
+def _node_pos(idx, l: int, levels: int, kbits: int):
+    """Storage position of node ``idx`` at level ``l`` under the partial
+    bit-reversed layout: natural above the affine segment, low-bit
+    reversed within it."""
+    if l >= kbits:
+        return idx
+    kb = kbits - l
+    lo = idx & ((1 << kb) - 1)
+    hi = idx >> kb
+    return (_bitrev_dyn(lo, kb) << (levels - l - kb)) | hi
 
 
 def window_buckets_flat(fops, points_packed, digits, c: int,
@@ -460,13 +534,28 @@ def window_buckets_flat(fops, points_packed, digits, c: int,
     """window_buckets with the window axis flattened into the lane axis and
     a batch-affine lower ladder (see the design note above AFFINE_LADDER).
 
+    Storage is per-window PARTIALLY BIT-REVERSED over the low K bits
+    (_sigma — a transpose, not a gather): the K affine levels pair
+    positions (p, p + n_l/2) as contiguous half-folds (kernel-layout
+    friendly), while levels >= K sit in natural order with adjacent
+    pairing. Node j of level l < K sits at position _node_pos(j, l); the
+    prefix queries map their indices through it. The infinity flag rides
+    the row gather as a 49th column (a separate 4.19M-row flag gather
+    measured ~28-85 ms — gathers cost per row, not per byte).
+
     Per level this runs ONE batched affine add across all windows (so the
     per-level product-tree root costs one Fermat total), stores the level's
     nodes (affine for levels <= K, projective above), then answers all
-    windows' bucket-boundary prefix queries W*B-wide. Bit-identical to
-    window_buckets. Precondition: rows are encoded affine points or
-    identity pads (Z in {0, mont-1}) — the same precondition the round-4
-    leaf-specialized add established for parameter queries."""
+    windows' bucket-boundary prefix queries W*B-wide. On the pallas impl
+    the affine levels run entirely in kernel layout (fused pre/post
+    kernels, kernels/field_kernels.klay_affine_level) — composing them
+    from standalone calls measured 8x slower (layout transposes around
+    every op). Bit-identical to window_buckets. Precondition: rows are
+    encoded affine points or identity pads (Z in {0, mont-1}) — the same
+    precondition the round-4 leaf-specialized add established for
+    parameter queries."""
+    from masp_tpu.ops import field_jax as F
+
     N = points_packed.shape[0]
     n_windows = digits.shape[1]
     B = (1 << (c - 1)) + 1 if signed else 1 << c
@@ -476,6 +565,12 @@ def window_buckets_flat(fops, points_packed, digits, c: int,
     K = max(0, min(K, levels))
     cshape = fops.coord_shape
     k = int(np.prod(cshape))
+    use_klay = (
+        len(cshape) == 1
+        and F.get_impl() == "pallas"
+        # kernel layout needs whole (TB*128)-lane groups with no padding
+        and (n_windows * N) % (128 * 8) == 0
+    )
 
     if signed:
         keys = jnp.abs(digits).T.astype(jnp.int32)
@@ -492,37 +587,103 @@ def window_buckets_flat(fops, points_packed, digits, c: int,
 
     like = _unpack(fops, points_packed)[0]
 
-    # affine source coords + infinity flags (Z in {0, mont-1} by contract)
-    xy_src = points_packed[:, : 2 * k]
+    # affine source coords + infinity flag packed as one extra row column,
+    # so ONE row gather fetches both (Z in {0, mont-1} by contract)
     z_src = points_packed[:, 2 * k :].reshape((N,) + cshape)
-    inf_src = fops.is_zero(z_src).astype(jnp.int32)
+    inf_src = fops.is_zero(z_src).astype(jnp.uint32)
+    src = jnp.concatenate(
+        [points_packed[:, : 2 * k], inf_src[:, None]], axis=1
+    )
+
+    # storage order: partial bit-reversal over the K affine levels,
+    # applied to the (traced) permutation as a transpose
+    perm = _sigma(perm, levels, K)
 
     perm_flat = perm.reshape(n_windows * N)
-    rows = jnp.take(xy_src, perm_flat, axis=0)  # (W*N, 2k)
-    f = jnp.take(inf_src, perm_flat)
+    rows = jnp.take(src, perm_flat, axis=0)  # (W*N, 2k+1)
+    f = rows[:, 2 * k].astype(jnp.int32)
     x = rows[:, :k].reshape((-1,) + cshape)
-    y = rows[:, k:].reshape((-1,) + cshape)
+    y = rows[:, k : 2 * k].reshape((-1,) + cshape)
     if signed:
+        # signs are indexed by ORIGINAL point index: gather through the
+        # storage-order permutation
         sgs = jnp.take_along_axis(signs, perm, axis=1).reshape(n_windows * N)
         y = _coord_sel(fops, sgs, _coord_neg(fops, y), y)
 
-    # up-sweep: affine levels 0..K, projective above. Pair halving of the
-    # flattened (W * N/2^l) lane axis never crosses a window boundary.
-    cur = (x, y, f)
-    aff_nodes = [cur]
-    for _l in range(K):
-        e = tuple(_split_pairs(cc)[0] for cc in cur)
-        o = tuple(_split_pairs(cc)[1] for cc in cur)
-        cur = _affine_level(fops, e, o)
-        aff_nodes.append(cur)
+    # up-sweep: affine levels 0..K, projective above. The fold split stays
+    # inside each window for every level below the per-window root. Node
+    # levels are tagged ("bm", x, y, f) batch-major or ("kl", kx, ky, kf)
+    # kernel-layout — the query phase gathers kernel-layout levels with an
+    # axis-1 take (a per-level batch-major dump costs ~3-6 ms of layout
+    # copies; the 8192-row query gather is ~free either way).
+    aff_nodes = [("bm", x, y, f)]
+    if use_klay and K > 0:
+        from masp_tpu.kernels import field_kernels as FK
+
+        # one conversion into kernel layout for the whole affine segment
+        kx = FK.to_kernel_layout(x, FK.TB)[0]
+        ky = FK.to_kernel_layout(y, FK.TB)[0]
+        kf = f.astype(jnp.uint32).reshape(-1, FK.LANE)
+        n_k = 0
+        for l in range(K):
+            n_l = N >> l
+            # klay fold needs >= 2 whole lane groups per window half and
+            # whole flag rows; fall back to batch-major below that
+            if n_l < 2 * FK.LANE or (n_windows * n_l // 2) % (
+                FK.TB * FK.LANE
+            ):
+                break
+            kxe, kxo = _fold_halves_klay(kx, n_windows)
+            kye, kyo = _fold_halves_klay(ky, n_windows)
+            kfe, kfo = _fold_halves_flag(kf, n_windows)
+            kx, ky, kf = FK.klay_affine_level(kxe, kye, kfe, kxo, kyo, kfo)
+            aff_nodes.append(("kl", kx, ky, kf))
+            n_k += 1
+        if n_k == K:
+            w_l = n_windows * (N >> K)
+            cur = (
+                FK.from_kernel_layout(kx, w_l, cshape),
+                FK.from_kernel_layout(ky, w_l, cshape),
+                kf.reshape(-1).astype(jnp.int32),
+            )
+        else:
+            tag, kx_, ky_, kf_ = aff_nodes[-1]
+            if tag == "kl":
+                w_l = n_windows * (N >> n_k)
+                cur = (
+                    FK.from_kernel_layout(kx_, w_l, cshape),
+                    FK.from_kernel_layout(ky_, w_l, cshape),
+                    kf_.reshape(-1).astype(jnp.int32),
+                )
+            else:
+                cur = (kx_, ky_, kf_)
+            for _l in range(n_k, K):
+                xe, xo = _fold_halves(cur[0], n_windows)
+                ye, yo = _fold_halves(cur[1], n_windows)
+                fe, fo = _fold_halves(cur[2], n_windows)
+                cur = _affine_level(fops, (xe, ye, fe), (xo, yo, fo))
+                aff_nodes.append(("bm",) + cur)
+    else:
+        cur = (x, y, f)
+        for _l in range(K):
+            xe, xo = _fold_halves(cur[0], n_windows)
+            ye, yo = _fold_halves(cur[1], n_windows)
+            fe, fo = _fold_halves(cur[2], n_windows)
+            cur = _affine_level(fops, (xe, ye, fe), (xo, yo, fo))
+            aff_nodes.append(("bm",) + cur)
     xK, yK, fK = cur
     one = fops.one_like(xK)
     curp = (xK, yK, _coord_sel(fops, fK, fops.zeros_like(xK), one))
     proj_nodes = {K: curp}
     for l in range(K, levels):
-        e = tuple(_split_pairs(cc)[0] for cc in curp)
-        o = tuple(_split_pairs(cc)[1] for cc in curp)
-        curp = W.g_add(fops, e, o)
+        # above the affine segment storage is natural order: adjacent pairs
+        e = []
+        o = []
+        for cc in curp:
+            ee, oo = _adj_pairs(cc)
+            e.append(ee)
+            o.append(oo)
+        curp = W.g_add(fops, tuple(e), tuple(o))
         proj_nodes[l + 1] = curp
 
     # exclusive-prefix queries at the B bucket boundaries, all windows wide
@@ -532,12 +693,29 @@ def window_buckets_flat(fops, points_packed, digits, c: int,
         n_l = N >> l
         idx = 2 * (bounds >> (l + 1))
         bit = (bounds >> l) & 1
-        gidx = (warange * n_l + jnp.minimum(idx, n_l - 1)).reshape(-1)
-        if l <= K:
-            nx, ny, nf = aff_nodes[l]
-            gx = jnp.take(nx, gidx, axis=0).reshape((n_windows, B) + cshape)
-            gy = jnp.take(ny, gidx, axis=0).reshape((n_windows, B) + cshape)
-            gf = jnp.take(nf, gidx).reshape(n_windows, B)
+        pos = _node_pos(jnp.minimum(idx, n_l - 1), l, levels, K)
+        gidx = (warange * n_l + pos).reshape(-1)
+        if l < len(aff_nodes):
+            tag, nx, ny, nf = aff_nodes[l]
+            if tag == "kl":
+                Lr = nx.shape[0]
+                gx = jnp.transpose(
+                    jnp.take(nx.reshape(Lr, -1), gidx, axis=1)
+                ).reshape((n_windows, B) + cshape)
+                gy = jnp.transpose(
+                    jnp.take(ny.reshape(Lr, -1), gidx, axis=1)
+                ).reshape((n_windows, B) + cshape)
+                gf = jnp.take(nf.reshape(-1), gidx).reshape(
+                    n_windows, B
+                ).astype(jnp.int32)
+            else:
+                gx = jnp.take(nx, gidx, axis=0).reshape(
+                    (n_windows, B) + cshape
+                )
+                gy = jnp.take(ny, gidx, axis=0).reshape(
+                    (n_windows, B) + cshape
+                )
+                gf = jnp.take(nf, gidx).reshape(n_windows, B)
             onep = fops.one_like(gx)
             gath = (gx, gy, _coord_sel(fops, gf, fops.zeros_like(gx), onep))
         else:
@@ -554,6 +732,30 @@ def window_buckets_flat(fops, points_packed, digits, c: int,
         for i1, cc in zip(ident_1, acc)
     )
     return W.g_add(fops, acc, _g_neg(fops, qprev))
+
+
+def _fold_halves_klay(arr, n_windows: int):
+    """_fold_halves on a kernel-layout (L, B1, 128) coord array: the
+    per-window halves are contiguous runs of lane groups."""
+    L, B1, lane = arr.shape
+    nl1 = B1 // n_windows
+    r = arr.reshape(L, n_windows, nl1, lane)
+    h = nl1 // 2
+    e = r[:, :, :h].reshape(L, B1 // 2, lane)
+    o = r[:, :, h:].reshape(L, B1 // 2, lane)
+    return e, o
+
+
+def _fold_halves_flag(arr, n_windows: int):
+    """_fold_halves on a (B1, 128) flag array."""
+    B1, lane = arr.shape
+    nl1 = B1 // n_windows
+    r = arr.reshape(n_windows, nl1, lane)
+    h = nl1 // 2
+    return (
+        r[:, :h].reshape(B1 // 2, lane),
+        r[:, h:].reshape(B1 // 2, lane),
+    )
 
 
 def _pow2_groups(w: int) -> list[int]:

@@ -60,12 +60,15 @@ def test_sorted_msm_wide_reduce_flag():
     assert got == _host_msm(points, scalars)
 
 
-@pytest.mark.parametrize("c", [4, 5])
+@pytest.mark.parametrize("c", [5])
 def test_bgmw_msm_matches_host(c):
     """BGMW fixed-base tables (device-built doubling slabs + batched
     affinization) + merged single-window MSMs over power-of-two window
     groups must agree with the host MSM (c=5 exercises the [32,16,2,1]
-    non-trivial group split)."""
+    non-trivial group split; the c=4 single-group variant was dropped to
+    halve this test's ~460 s of CPU compile — round-5 measured the BGMW
+    path a perf NEGATIVE at every c on v5e, so it stays flag-off
+    correctness-only coverage)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(13)
@@ -262,3 +265,73 @@ def test_affine_ladder_adversarial(grp):
         MS.AFFINE_LEVELS, MS.AFFINE_LADDER = old_lvl, old_on
     got = dec(*(np.asarray(x)[None] for x in out))[0]
     assert got == _host_msm(points, scalars)
+
+def test_klay_affine_level_unit_interpret():
+    """klay_affine_level (fused pallas pre/tree/post kernels, interpret
+    mode off-TPU) vs the pure-jax _affine_level reference on one level of
+    1024 lanes, covering chord/doubling/P+(-P)/identity lanes. The whole-
+    MSM klay path is exercised on real TPU (tools/exp_affine_bench.py and
+    the prover benches); a full-MSM interpret run takes hours on CPU."""
+    import jax.numpy as jnp
+
+    from masp_tpu.kernels import field_kernels as FK
+    from masp_tpu.ops import field_jax as F
+
+    rng = np.random.default_rng(47)
+    n = 1024
+    g = G1.generator()
+    base = [g * int(rng.integers(1, 1 << 62)) for _ in range(40)]
+    p1, p2 = [], []
+    for i in range(n):
+        a = base[i % 40]
+        b = base[(i * 7 + 3) % 40]
+        if i % 11 == 0:
+            b = a          # doubling lane
+        if i % 13 == 0:
+            b = -a         # P + (-P) lane
+        if i % 17 == 0:
+            a = G1.identity()
+        if i % 19 == 0:
+            b = G1.identity()
+        p1.append(a)
+        p2.append(b)
+
+    def enc(points):
+        X, Y, Z = W.encode_g1_points(points)
+        f = (np.asarray(Z) == 0).all(axis=1).astype(np.int32)
+        return jnp.asarray(X), jnp.asarray(Y), jnp.asarray(f)
+
+    x1, y1, f1 = enc(p1)
+    x2, y2, f2 = enc(p2)
+    old_impl = F.get_impl()
+    try:
+        F.set_impl("pallas")  # off-TPU -> interpret mode
+        kx1 = FK.to_kernel_layout(x1, FK.TB)[0]
+        ky1 = FK.to_kernel_layout(y1, FK.TB)[0]
+        kx2 = FK.to_kernel_layout(x2, FK.TB)[0]
+        ky2 = FK.to_kernel_layout(y2, FK.TB)[0]
+        kf1 = f1.astype(jnp.uint32).reshape(-1, FK.LANE)
+        kf2 = f2.astype(jnp.uint32).reshape(-1, FK.LANE)
+        kx, ky, kf = FK.klay_affine_level(kx1, ky1, kf1, kx2, ky2, kf2)
+        gx = np.asarray(FK.from_kernel_layout(kx, n, (24,)))
+        gy = np.asarray(FK.from_kernel_layout(ky, n, (24,)))
+        gf = np.asarray(kf.reshape(-1))
+    finally:
+        F.set_impl(old_impl)
+
+    # pure-jax reference (compact impl)
+    rx, ry, rf = MS._affine_level(W.G1Ops, (x1, y1, f1), (x2, y2, f2))
+    assert (np.asarray(rf) != 0).tolist() == (gf != 0).tolist()
+    live = gf == 0
+    assert (gx[live] == np.asarray(rx)[live]).all()
+    assert (gy[live] == np.asarray(ry)[live]).all()
+    # and vs the host group law on a few lanes
+    for i in list(range(0, 64, 7)):
+        want = p1[i] + p2[i]
+        if want.is_identity():
+            assert gf[i] != 0
+        else:
+            import masp_tpu.ops.field_jax as FJ
+            got_x = FJ.decode(FJ.FQ, gx[i][None])[0]
+            got_y = FJ.decode(FJ.FQ, gy[i][None])[0]
+            assert (got_x, got_y) == (want.x.n, want.y.n)

@@ -80,11 +80,11 @@ def test_boolean_var_mask_requires_bit_deps():
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(
-    not os.environ.get("MASP_E2E"),
-    reason="CPU trace cost; run with MASP_E2E=1 (split exercised by TPU bench)",
-)
 def test_split_prove_matches_host_reference(monkeypatch):
+    # un-gated round 5 (VERDICT item 9): the boolean split is the
+    # production-default Spend path, so the default suite must assert it
+    # bit-exact vs the host reference on every run (~290 s of CPU XLA
+    # compile at this tiny shape — accepted)
     from masp_tpu.curves.bls12_381 import G1, G2
     from masp_tpu.groth16.generator import _densities
     from masp_tpu.groth16.reference import host_proof

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Chip bench: kernel-layout batch-affine ladder vs round-4 scan path."""
+"""Chip bench round 2: klay-gather queries + wide reduce, K sweep."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -12,7 +12,7 @@ def main():
 
     F.set_impl("pallas" if jax.default_backend() == "tpu" else "compact")
     print("backend:", jax.default_backend(), flush=True)
-    N = 1 << int(os.environ.get("MSM_LOGN", "17"))
+    N = 1 << 17
     rng = np.random.default_rng(3)
     p = G1.generator() * 123456789
     coords1 = [np.tile(np.asarray(c), (N, 1)) for c in W.encode_g1_points([p])]
@@ -32,20 +32,13 @@ def main():
         return float(np.median(ts))
 
     MS.AFFINE_LADDER = True
-    for K in (int(x) for x in os.environ.get("SWEEP_K", "6,4,8").split(",")):
-        fn = jax.jit(lambda pk, d, K=K: MS.sorted_msm(
-            W.G1Ops, pk, MS.windows_from_limbs.__wrapped__(d, 8)
-            if False else d, 8) if False else None)
-        # direct: full sorted_msm with affine_levels override
+    for K in (int(x) for x in os.environ.get("SWEEP_K", "5,4,6").split(",")):
         def msm(pk, d, K=K):
             b = MS.window_buckets_flat(W.G1Ops, pk, d, 8, affine_levels=K)
             like = MS._unpack(W.G1Ops, pk)[0]
-            return MS.bucket_reduce_horner(W.G1Ops, b, 8, like)
-        timeit(f"affine-klay sorted_msm K={K} 2^17 c=8", jax.jit(msm),
+            return MS.bucket_reduce_horner(W.G1Ops, b, 8, like, wide=True)
+        timeit(f"flatv2 sorted_msm K={K} 2^17 c=8", jax.jit(msm),
                packed1, digits)
-    MS.AFFINE_LADDER = False
-    fn0 = jax.jit(lambda pk, d: MS.sorted_msm(W.G1Ops, pk, d, 8))
-    timeit("scan sorted_msm (round-4 path)", fn0, packed1, digits)
 
 if __name__ == "__main__":
     main()
